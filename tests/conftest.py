@@ -2,7 +2,7 @@ import os
 
 # Force JAX onto a virtual 8-device CPU mesh for all tests: multi-chip
 # sharding is validated without TPU hardware (see SURVEY.md §4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -10,8 +10,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The container's axon sitecustomize force-registers the TPU backend via
+# jax.config (overriding JAX_PLATFORMS env); force it back to the virtual
+# 8-device CPU mesh for deterministic, offline-safe tests.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.device_count() == 8, jax.devices()
 
 REFERENCE_DATA = "/root/reference/tests/data"
 
