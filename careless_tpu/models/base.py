@@ -1,0 +1,86 @@
+"""The packed-input data model: the core internal ABI.
+
+TPU-native redesign of the reference's positional-tuple protocol
+(/root/reference/careless/models/base.py:22-31): a typed NamedTuple of flat
+jnp arrays (a JAX pytree) instead of index-magic over a bare tuple. Laue data
+is detected by the presence of wavelength/harmonic_id (reference: tuple
+length, base.py:39-47). All per-observation arrays are 1-D of length N_obs
+(the reference's (N,1) column vectors are flattened); metadata is (N, d).
+
+The N axis is the data-parallel shard axis on TPU (SURVEY.md §5.8).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import numpy as np
+
+Array = jax.Array
+
+
+class Inputs(NamedTuple):
+    """Packed per-observation inputs (mono: first 6 fields; Laue: all 8)."""
+
+    refl_id: Array        # (N,) int32 — global ASU-collection reflection id
+    image_id: Array       # (N,) int32 — globally renumbered image
+    file_id: Array        # (N,) int32 — input file index
+    metadata: Array       # (N, d) f32 — standardized metadata (+ pos. enc.)
+    intensities: Array    # (N,) f32 — mono: per-obs; Laue: per-harmonic-group (padded)
+    uncertainties: Array  # (N,) f32 — same layout as intensities
+    wavelength: Optional[Array] = None    # (N,) f32, Laue only
+    harmonic_id: Optional[Array] = None   # (N,) int32, Laue only
+
+    @property
+    def is_laue(self) -> bool:
+        return self.harmonic_id is not None
+
+    @property
+    def n_obs(self) -> int:
+        return self.refl_id.shape[0]
+
+    def replace(self, **kwargs) -> "Inputs":
+        return self._replace(**kwargs)
+
+    def select(self, mask_or_idx) -> "Inputs":
+        """Row-select every per-observation array (host-side numpy only)."""
+        def take(x):
+            return None if x is None else np.asarray(x)[mask_or_idx]
+        return Inputs(*[take(x) for x in self])
+
+    @staticmethod
+    def from_arrays(refl_id, image_id, file_id, metadata, intensities,
+                    uncertainties, wavelength=None, harmonic_id=None) -> "Inputs":
+        def i32(x):
+            return None if x is None else np.ascontiguousarray(
+                np.asarray(x).reshape(-1), dtype=np.int32)
+
+        def f32(x):
+            return None if x is None else np.ascontiguousarray(
+                np.asarray(x).reshape(-1), dtype=np.float32)
+
+        return Inputs(
+            refl_id=i32(refl_id),
+            image_id=i32(image_id),
+            file_id=i32(file_id),
+            metadata=np.ascontiguousarray(np.atleast_2d(metadata), dtype=np.float32),
+            intensities=f32(intensities),
+            uncertainties=f32(uncertainties),
+            wavelength=f32(wavelength),
+            harmonic_id=i32(harmonic_id),
+        )
+
+    def to_reference_tuple(self):
+        """Export as the reference's positional layout (for parity checks)."""
+        cols = [
+            np.asarray(self.refl_id)[:, None].astype(np.int64),
+            np.asarray(self.image_id)[:, None].astype(np.int64),
+            np.asarray(self.file_id)[:, None].astype(np.int64),
+            np.asarray(self.metadata, dtype=np.float32),
+            np.asarray(self.intensities)[:, None].astype(np.float32),
+            np.asarray(self.uncertainties)[:, None].astype(np.float32),
+        ]
+        if self.is_laue:
+            cols.append(np.asarray(self.wavelength)[:, None].astype(np.float32))
+            cols.append(np.asarray(self.harmonic_id)[:, None].astype(np.int64))
+        return tuple(cols)
