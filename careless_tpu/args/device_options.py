@@ -1,0 +1,54 @@
+"""Device/runtime flags — the JAX/TPU analogue of the reference's TensorFlow
+options group (reference careless/args/tf_options.py).
+
+The reference's flags concern single-GPU selection and tf.function modes;
+here they map onto JAX platform selection, jit disabling, and multi-chip
+sharding controls (SURVEY.md §5.8).
+"""
+name = "Device Options"
+description = None
+
+args_and_kwargs = (
+    (("--run-eagerly",), {
+        "help": "Disable jit compilation (jax.disable_jit). Mostly useful "
+                "for debugging.",
+        "action": "store_true",
+        "default": False,
+    }),
+    (("--platform",), {
+        "help": "Force a JAX platform, e.g. 'tpu' or 'cpu'. By default the "
+                "best available platform is used.",
+        "type": str,
+        "default": None,
+    }),
+    (("--disable-gpu", "--disable-accelerator"), {
+        "help": "Run on CPU only (compatibility alias of the reference's "
+                "--disable-gpu; also disables TPU).",
+        "action": "store_true",
+        "default": False,
+    }),
+    (("--device-id", "--gpu-id"), {
+        "help": "Index of the accelerator device to use for single-device "
+                "runs. The default is 0.",
+        "type": int,
+        "default": 0,
+        "dest": "device_id",
+    }),
+    (("--num-devices",), {
+        "help": "Shard observations data-parallel over this many devices "
+                "(a 1-D jax mesh over the local device set). The default of "
+                "0 means single-device execution.",
+        "type": int,
+        "default": 0,
+    }),
+    (("--jax-debug",), {
+        "help": "Increase runtime log verbosity.",
+        "action": "store_true",
+        "default": False,
+    }),
+    (("--seed",), {
+        "help": "Random number seed for consistent sampling.",
+        "type": int,
+        "default": 1234,
+    }),
+)

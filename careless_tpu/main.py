@@ -1,0 +1,166 @@
+"""CLI driver: end-to-end merge run.
+
+Reference behavior: /root/reference/careless/careless.py — format inputs,
+optional test split, build model, train, write merged MTZs + history +
+weights + predictions, optional half-dataset crossvalidation.
+
+TPU-native additions: data-parallel observation sharding over a device mesh
+(--num-devices), scan-chunked training, npz checkpoints.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def main(argv=None):
+    from . import __version__
+    print(f"careless-tpu version {__version__}")
+    from .parser import parser
+    args = parser.parse_args(argv)
+    run_careless(args)
+
+
+def run_careless(parser):
+    import jax
+
+    from .io.formatter import LaueFormatter, MonoFormatter
+    from .io.manager import DataManager
+    from .utils.checkpoint import load_params, save_params
+    from .xtal import write_mtz
+
+    if parser.type == "poly":
+        df = LaueFormatter.from_parser(parser)
+    elif parser.type == "mono":
+        df = MonoFormatter.from_parser(parser)
+    elif parser.type == "devices":
+        print("#############################################")
+        print("# JAX can access the following devices      #")
+        print("#############################################")
+        for dev in jax.devices():
+            print(f" - {dev.platform}: {dev}")
+        return
+
+    inputs, rac = df.format_files(parser.reflection_files)
+    dm = DataManager(inputs, rac, parser=parser)
+
+    if parser.test_fraction is not None:
+        train, test = dm.split_data_by_refl(parser.test_fraction)
+    else:
+        train, test = dm.inputs, None
+
+    model, params, trainer = dm.build_model()
+
+    if parser.scale_file is not None:
+        params["scaler"] = load_params(parser.scale_file, params["scaler"])
+    if parser.structure_factor_file is not None:
+        params["posterior"] = load_params(parser.structure_factor_file,
+                                          params["posterior"])
+
+    train_dev, mesh = _shard_inputs(train, parser.num_devices)
+
+    key = jax.random.PRNGKey(parser.seed)
+    progress = not parser.disable_progress_bar
+    params, history = trainer.train(
+        params, key, train_dev, parser.iterations,
+        validation_data=test,
+        validation_frequency=parser.validation_frequency,
+        progress=progress,
+        message="Training",
+        chunk_size=parser.steps_per_compile,
+    )
+
+    posterior_dist = model.posterior.distribution(params["posterior"])
+    for i, ds in enumerate(dm.get_results(posterior_dist, inputs=train)):
+        write_mtz(ds, parser.output_base + f"_{i}.mtz")
+
+    import pandas as pd
+    pd.DataFrame(history).to_csv(parser.output_base + "_history.csv",
+                                 index_label="step")
+
+    save_params(parser.output_base + "_structure_factor", params["posterior"])
+    save_params(parser.output_base + "_scale", params["scaler"])
+    if parser.save_data_manager:
+        dm.to_pickle(parser.output_base + "_data_manager.pickle")
+
+    if test is not None:
+        for file_id, (ds_train, ds_test) in enumerate(zip(
+                dm.get_predictions(model, params, train, test_value=0),
+                dm.get_predictions(model, params, test, test_value=1))):
+            merged = _concat_predictions(ds_train, ds_test)
+            write_mtz(merged, parser.output_base + f"_predictions_{file_id}.mtz")
+    else:
+        for file_id, ds_train in enumerate(
+                dm.get_predictions(model, params, train, test_value=0)):
+            write_mtz(ds_train, parser.output_base + f"_predictions_{file_id}.mtz")
+
+    if parser.merge_half_datasets:
+        run_half_dataset_crossvalidation(dm, params, parser, progress)
+
+    if parser.embed:
+        try:
+            from IPython import embed
+            embed(colors="Linux")
+        except ImportError:
+            pass
+
+
+def run_half_dataset_crossvalidation(dm, trained_params, parser, progress):
+    """Half-dataset merging with the scaling model frozen
+    (reference careless.py:102-128)."""
+    import jax
+
+    from .xtal import write_mtz
+
+    xval_data = [None] * len(dm.asu_collection)
+    for repeat in range(parser.half_dataset_repeats):
+        for half_id, half in enumerate(dm.split_data_by_image()):
+            model, params, trainer = dm.build_model()
+            params["scaler"] = trained_params["scaler"]
+            trainer = type(trainer)(**{
+                **trainer.__dict__, "freeze": ("scaler",)})
+            half_dev, _ = _shard_inputs(half, parser.num_devices)
+            key = jax.random.PRNGKey(parser.seed + 7919 * (2 * repeat + half_id + 1))
+            params, _ = trainer.train(
+                params, key, half_dev, parser.iterations,
+                message=f"Merging repeat {repeat + 1} half {half_id + 1}",
+                progress=progress,
+                chunk_size=parser.steps_per_compile,
+            )
+            posterior_dist = model.posterior.distribution(params["posterior"])
+            for file_id, ds in enumerate(
+                    dm.get_results(posterior_dist, inputs=half)):
+                ds["repeat"] = np.int32(repeat)
+                ds["half"] = np.int32(half_id)
+                ds.mtz_dtypes.update({"repeat": "I", "half": "I"})
+                if xval_data[file_id] is None:
+                    xval_data[file_id] = ds
+                else:
+                    xval_data[file_id] = _concat_predictions(
+                        xval_data[file_id], ds)
+    for file_id, ds in enumerate(xval_data):
+        write_mtz(ds, parser.output_base + f"_xval_{file_id}.mtz")
+
+
+def _concat_predictions(a, b):
+    import pandas as pd
+
+    from .xtal.dataset import DataSet
+    cols = [c for c in a.columns if c in b.columns]
+    out = DataSet(pd.concat([a[cols], b[cols]], ignore_index=True),
+                  cell=a.cell, spacegroup=a.spacegroup,
+                  mtz_dtypes=dict(a.mtz_dtypes))
+    return out
+
+
+def _shard_inputs(inputs, num_devices: int):
+    """Shard per-observation arrays over a 1-D device mesh ('obs' axis);
+    parameters stay replicated so refl_id gathers remain device-local and
+    XLA psums the gradients over ICI (SURVEY.md §5.8)."""
+    if not num_devices or num_devices <= 1:
+        return inputs, None
+    from .parallel.shard import shard_inputs_over_mesh
+    return shard_inputs_over_mesh(inputs, num_devices)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ class Inputs(NamedTuple):
     uncertainties: Array  # (N,) f32 — same layout as intensities
     wavelength: Optional[Array] = None    # (N,) f32, Laue only
     harmonic_id: Optional[Array] = None   # (N,) int32, Laue only
+    mask: Optional[Array] = None          # (N,) f32, 0 on shard-padding rows
 
     @property
     def is_laue(self) -> bool:
@@ -50,7 +51,8 @@ class Inputs(NamedTuple):
 
     @staticmethod
     def from_arrays(refl_id, image_id, file_id, metadata, intensities,
-                    uncertainties, wavelength=None, harmonic_id=None) -> "Inputs":
+                    uncertainties, wavelength=None, harmonic_id=None,
+                    mask=None) -> "Inputs":
         def i32(x):
             return None if x is None else np.ascontiguousarray(
                 np.asarray(x).reshape(-1), dtype=np.int32)
@@ -68,6 +70,7 @@ class Inputs(NamedTuple):
             uncertainties=f32(uncertainties),
             wavelength=f32(wavelength),
             harmonic_id=i32(harmonic_id),
+            mask=f32(mask),
         )
 
     def to_reference_tuple(self):

@@ -86,6 +86,9 @@ class VariationalMergingModel:
 
         likelihood = self.likelihood.build(params.get("likelihood", {}), inputs)
         ll = likelihood.log_prob(ipred)                       # (S, N)
+        if inputs.mask is not None:
+            # shard-padding rows contribute nothing to the likelihood
+            ll = ll * inputs.mask
 
         kl_term = q.log_prob(z_f) - self.prior.log_prob(z_f)  # (S, n_refl)
 
@@ -94,7 +97,10 @@ class VariationalMergingModel:
             kl = jnp.sum(kl_term) / self.mc_samples
             loss = nll + kl
         else:
-            nll = -jnp.mean(ll)
+            if inputs.mask is not None:
+                nll = -jnp.sum(ll) / (self.mc_samples * jnp.sum(inputs.mask))
+            else:
+                nll = -jnp.mean(ll)
             kl = jnp.mean(kl_term)
             loss = nll + self.kl_weight * kl
 
@@ -189,12 +195,15 @@ class Trainer:
         return optax.chain(*chain)
 
     # ------------------------------------------------------------------
-    def make_step(self, inputs: Inputs) -> Callable:
+    def make_step(self) -> Callable:
+        """step((params, opt_state), key, inputs) — inputs are traced
+        arguments, not baked constants, so large datasets neither bloat the
+        executable nor lose their device sharding."""
         model = self.model
         opt = self.optimizer()
         frozen = set(self.freeze)
 
-        def step(carry, key):
+        def step(carry, key, inputs):
             params, opt_state = carry
             (loss, metrics), grads = jax.value_and_grad(
                 model.elbo, has_aux=True)(params, key, inputs)
@@ -222,21 +231,21 @@ class Trainer:
         """Run `steps` optimization steps; returns (params, history)."""
         opt = self.optimizer()
         opt_state = opt.init(params)
-        step = self.make_step(inputs)
+        step = self.make_step()
 
         if validation_data is not None:
             chunk_size = validation_frequency
             val_scale = inputs.n_obs / validation_data.n_obs
 
             @jax.jit
-            def val_nll(params, key):
-                _, m = self.model.elbo(params, key, validation_data)
+            def val_nll(params, key, val_inputs):
+                _, m = self.model.elbo(params, key, val_inputs)
                 return m["NLL"]
 
         @jax.jit
-        def run_chunk(params, opt_state, keys):
+        def run_chunk(params, opt_state, keys, inputs):
             (params, opt_state), metrics = jax.lax.scan(
-                step, (params, opt_state), keys)
+                lambda c, k: step(c, k, inputs), (params, opt_state), keys)
             return params, opt_state, metrics
 
         history: Dict[str, list] = {k: [] for k in METRIC_KEYS}
@@ -253,13 +262,14 @@ class Trainer:
             keys = jax.vmap(
                 lambda i: jax.random.fold_in(key_base, i))(
                     jnp.arange(done, done + n))
-            params, opt_state, metrics = run_chunk(params, opt_state, keys)
+            params, opt_state, metrics = run_chunk(params, opt_state, keys,
+                                                   inputs)
             metrics = np.asarray(metrics)  # (n, len(METRIC_KEYS))
             for j, k in enumerate(METRIC_KEYS):
                 history[k].extend(metrics[:, j].tolist())
             if validation_data is not None:
                 v = float(val_nll(params, jax.random.fold_in(
-                    key_base, 2**30 + done)))
+                    key_base, 2**30 + done), validation_data))
                 history["NLL_val"].extend([val_scale * v] * n)
             done += n
             bar.update(n)

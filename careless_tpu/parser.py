@@ -1,0 +1,116 @@
+"""Argument parser with parse-time environment side effects.
+
+Reference behavior: /root/reference/careless/parser.py — an argparse tree
+with mono/poly/devices subcommands built from the declarative flag groups;
+parse_args applies process-global runtime settings (there: TF env vars/seed/
+GPU visibility; here: JAX platform selection and device pinning).
+"""
+from __future__ import annotations
+
+import argparse
+import re
+import textwrap
+from os.path import exists
+
+
+class EnvironmentSettingsMixin(argparse.ArgumentParser):
+    """Applies JAX runtime settings when parse_args is called."""
+
+    def parse_args(self, *args, **kwargs):
+        parser = super().parse_args(*args, **kwargs)
+        from os import environ
+
+        if getattr(parser, "jax_debug", False):
+            environ["TPU_STDERR_LOG_LEVEL"] = "0"
+            environ["JAX_LOG_COMPILES"] = "1"
+        if getattr(parser, "disable_gpu", False):
+            platform = "cpu"
+        else:
+            platform = getattr(parser, "platform", None)
+        if platform:
+            environ["JAX_PLATFORMS"] = platform
+            import jax
+            jax.config.update("jax_platforms", platform)
+        if getattr(parser, "run_eagerly", False):
+            import jax
+            jax.config.update("jax_disable_jit", True)
+        return parser
+
+
+class CustomParser(EnvironmentSettingsMixin):
+    def _validate_input_files(self, parser):
+        if parser.type == "devices":
+            return
+        for in_fn in parser.reflection_files:
+            if not exists(in_fn):
+                self.error(f"Unmerged reflection file {in_fn} does not exist")
+            elif in_fn.endswith(".mtz") or in_fn.endswith(".stream"):
+                continue
+            self.error(
+                f"Could not determine filetype for reflection file, {in_fn}. "
+                "Please make sure your files end in '.mtz' or '.stream' as "
+                "appropriate.")
+
+    def parse_args(self, *args, **kwargs):
+        parser = super().parse_args(*args, **kwargs)
+        self._validate_input_files(parser)
+        return parser
+
+
+class CustomFormatter(argparse.HelpFormatter):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._whitespace_matcher = re.compile("\n(?!\n)")
+
+    def _fill_text(self, text, width, indent):
+        text = re.sub(r"(?!>\n)\n(?!\n)", "", text)
+        return textwrap.fill(text, width, initial_indent=indent,
+                             subsequent_indent=indent,
+                             replace_whitespace=False, drop_whitespace=False)
+
+
+description = """
+Scale and merge crystallographic data by approximate inference — TPU native.
+"""
+
+parser = CustomParser(description=description, formatter_class=CustomFormatter)
+
+from . import __version__  # noqa: E402
+
+parser.add_argument("--version", action="version",
+                    version=f"careless-tpu {__version__}")
+
+subs = parser.add_subparsers(title="Experiment Type", required=True, dest="type")
+mono_sub = subs.add_parser("mono", help="Process monochromatic diffraction data.",
+                           formatter_class=CustomFormatter)
+poly_sub = subs.add_parser("poly", help="Process polychromatic, 'Laue', "
+                                        "diffraction data.",
+                           formatter_class=CustomFormatter)
+devices_sub = subs.add_parser("devices", help="Print available devices",
+                              formatter_class=CustomFormatter)
+
+from .args import device_options, groups, poly, required  # noqa: E402
+
+for args, kwargs in required.args_and_kwargs:
+    mono_sub.add_argument(*args, **kwargs)
+    poly_sub.add_argument(*args, **kwargs)
+
+for args, kwargs in poly.args_and_kwargs:
+    poly_sub.add_argument(*args, **kwargs)
+
+for group in groups:
+    if group.name is not None and group.description is not None:
+        mono_group = mono_sub.add_argument_group(group.name, group.description)
+        poly_group = poly_sub.add_argument_group(group.name, group.description)
+    elif group.name is not None:
+        mono_group = mono_sub.add_argument_group(group.name)
+        poly_group = poly_sub.add_argument_group(group.name)
+    else:
+        mono_group = mono_sub
+        poly_group = poly_sub
+    for args, kwargs in group.args_and_kwargs:
+        mono_group.add_argument(*args, **kwargs)
+        poly_group.add_argument(*args, **kwargs)
+
+for args, kwargs in device_options.args_and_kwargs:
+    devices_sub.add_argument(*args, **kwargs)

@@ -161,8 +161,9 @@ def write_mtz(ds: DataSet, path: str, title: str = "careless-tpu") -> None:
     records.append(_rec("VALM NAN"))
     for label, typ in zip(cols, types):
         vals = data[:, cols.index(label)]
-        vmin = float(np.nanmin(vals)) if nrefl else 0.0
-        vmax = float(np.nanmax(vals)) if nrefl else 0.0
+        finite = vals[np.isfinite(vals)]
+        vmin = float(finite.min()) if finite.size else 0.0
+        vmax = float(finite.max()) if finite.size else 0.0
         records.append(_rec(
             f"COLUMN {label:<30s} {typ} {vmin:17.9f} {vmax:17.9f}    0"))
     records += [

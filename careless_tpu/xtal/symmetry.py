@@ -280,8 +280,10 @@ class SpaceGroup:
                         -hmax[1]:hmax[1] + 1,
                         -hmax[2]:hmax[2] + 1].reshape(3, -1).T.astype(np.int64)
         grid = grid[np.any(grid != 0, axis=1)]
-        d = cell.compute_d(grid)
-        grid = grid[d >= dmin]
+        # f32 rounding must match DataSet.compute_dHKL so an observation at
+        # exactly dmin is never excluded from the generated ASU
+        d = cell.compute_d(grid).astype(np.float32)
+        grid = grid[d >= np.float32(dmin)]
         asu, _ = self.map_to_asu(grid, anomalous=False)
         uniq = np.unique(asu, axis=0)
         uniq = uniq[~self.is_absent(uniq)]

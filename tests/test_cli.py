@@ -1,0 +1,143 @@
+"""End-to-end CLI tests on the reference's bundled real data.
+
+Mirrors /root/reference/tests/test_cli.py: build real command strings, run
+run_careless with few iterations, assert output files exist with expected
+properties (spacegroup preserved, dmin respected, anomalous columns).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from careless_tpu.main import main
+from careless_tpu.xtal import read_mtz
+
+
+def run(args, tmp_path, base="out"):
+    out = str(tmp_path / base)
+    # keep positionals contiguous: insert output_base before the first flag
+    i = next((j for j, a in enumerate(args) if a.startswith("-")), len(args))
+    main(args[:i] + [out] + args[i:] + ["--disable-progress-bar"])
+    return out
+
+
+def test_mono_basic(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10"],
+              tmp_path)
+    assert os.path.exists(out + "_0.mtz")
+    assert os.path.exists(out + "_history.csv")
+    assert os.path.exists(out + "_predictions_0.mtz")
+    assert os.path.exists(out + "_structure_factor.npz")
+    assert os.path.exists(out + "_scale.npz")
+    ds = read_mtz(out + "_0.mtz")
+    assert ds.spacegroup.n_ops == 6  # P63 preserved
+    for col in ["F", "SigF", "I", "SigI", "N"]:
+        assert col in ds.columns
+        assert np.isfinite(ds[col].to_numpy(np.float64)).all()
+
+
+def test_mono_dmin(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10",
+               "--dmin=6.0"], tmp_path)
+    ds = read_mtz(out + "_0.mtz").compute_dHKL()
+    assert float(ds["dHKL"].min()) >= 6.0 - 1e-3
+
+
+def test_mono_anomalous(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10",
+               "--anomalous"], tmp_path)
+    ds = read_mtz(out + "_0.mtz")
+    for col in ["F(+)", "SigF(+)", "F(-)", "SigF(-)"]:
+        assert col in ds.columns
+
+
+def test_mono_test_fraction(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10",
+               "--test-fraction=0.2"], tmp_path)
+    preds = read_mtz(out + "_predictions_0.mtz")
+    assert set(np.unique(preds["test"])) == {0, 1}
+    for col in ["Iobs", "SigIobs", "Ipred", "SigIpred", "Scale", "SigScale"]:
+        assert col in preds.columns
+
+
+def test_mono_merge_half_datasets(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10",
+               "--merge-half-datasets", "--half-dataset-repeats=2"], tmp_path)
+    xval = read_mtz(out + "_xval_0.mtz")
+    assert set(np.unique(xval["half"])) == {0, 1}
+    assert set(np.unique(xval["repeat"])) == {0, 1}
+
+
+def test_mono_studentt_ev11_isigi(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10",
+               "--studentt-likelihood-dof=4", "--refine-uncertainties",
+               "--isigi-cutoff=1.0"], tmp_path)
+    assert os.path.exists(out + "_0.mtz")
+
+
+def test_mono_two_files_separate(tmp_path, pyp_off_mtz, pyp_2ms_mtz):
+    out = run(["mono", "dHKL,image_id,file_id", pyp_off_mtz, pyp_2ms_mtz,
+               "--iterations=10", "--separate-files"], tmp_path)
+    ds0 = read_mtz(out + "_0.mtz")
+    ds1 = read_mtz(out + "_1.mtz")
+    assert len(ds0) > 0 and len(ds1) > 0
+    assert os.path.exists(out + "_predictions_1.mtz")
+
+
+def test_mono_spacegroup_override(tmp_path, data_dir):
+    out = run(["mono", "dHKL,image_id", f"{data_dir}/pyp_2ms_P3.mtz",
+               "--iterations=10", "--spacegroups=P 63"], tmp_path)
+    ds = read_mtz(out + "_0.mtz")
+    assert ds.spacegroup.n_ops == 6
+
+
+def test_mono_weight_roundtrip(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10"],
+              tmp_path)
+    out2 = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=5",
+                f"--scale-file={out}_scale.npz",
+                f"--structure-factor-file={out}_structure_factor.npz",
+                "--freeze-scales"], tmp_path, base="warm")
+    assert os.path.exists(out2 + "_0.mtz")
+
+
+def test_mono_scale_bijector_softplus(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10",
+               "--scale-bijector=softplus"], tmp_path)
+    assert os.path.exists(out + "_0.mtz")
+
+
+def test_mono_positional_encoding(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10",
+               "--positional-encoding-keys=X,Y", "-L", "3"], tmp_path)
+    assert os.path.exists(out + "_0.mtz")
+
+
+def test_mono_gradient_clipping_flags(tmp_path, pyp_off_mtz):
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=10",
+               "--clipnorm=1.0", "--global-clipnorm=10.0", "--clipvalue=5.0"],
+              tmp_path)
+    assert os.path.exists(out + "_0.mtz")
+
+
+def test_poly_basic(tmp_path, pyp_off_mtz):
+    out = run(["poly", "dHKL,image_id", pyp_off_mtz, "--iterations=10"],
+              tmp_path)
+    assert os.path.exists(out + "_0.mtz")
+    ds = read_mtz(out + "_0.mtz")
+    assert ds.spacegroup.n_ops == 6
+    assert np.isfinite(ds["F"].to_numpy(np.float64)).all()
+
+
+def test_poly_anomalous_halves(tmp_path, pyp_off_mtz, pyp_2ms_mtz):
+    out = run(["poly", "dHKL,image_id", pyp_off_mtz, pyp_2ms_mtz,
+               "--iterations=10", "--anomalous", "--merge-half-datasets",
+               "--test-fraction=0.1"], tmp_path)
+    assert os.path.exists(out + "_xval_0.mtz")
+    assert os.path.exists(out + "_predictions_0.mtz")
+
+
+def test_poly_rejects_stream(tmp_path, data_dir):
+    with pytest.raises(ValueError, match="stream"):
+        run(["poly", "dHKL,image_id", f"{data_dir}/crystfel.stream",
+             "--iterations=10", "--spacegroups=P 63"], tmp_path)
