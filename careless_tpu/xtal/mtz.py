@@ -95,6 +95,26 @@ def read_mtz(path: str) -> DataSet:
             ds[label] = col.astype(np.float32)
         mtz_dtypes[label] = typ
     object.__setattr__(ds, "mtz_dtypes", mtz_dtypes)
+
+    # Unmerged convention: HKL are stored reduced to the ASU with the
+    # original orientation in M/ISYM (ISYM = 2j+1 for h+, 2j+2 for h- under
+    # header op j, 1-indexed in SYMM record order). Reconstruct the observed
+    # indices like rs.read_mtz does — without this, Friedel separation and
+    # Laue central-ray metadata silently collapse.
+    if "M/ISYM" in ds.columns and symops:
+        ds = _hkl_to_observed(ds, symops)
+    return ds
+
+
+def _hkl_to_observed(ds: DataSet, symops) -> DataSet:
+    isym = ds["M/ISYM"].to_numpy(np.int64) % 256
+    j = np.clip((isym - 1) // 2, 0, len(symops) - 1)
+    minus = (isym % 2 == 0) & (isym > 0)
+    hkl = ds[["H", "K", "L"]].to_numpy(np.int64)
+    inv_rots = np.stack([op.inverse().rot_array for op in symops])  # (n,3,3)
+    observed = np.einsum("ni,nij->nj", hkl, inv_rots[j])
+    observed = np.where(minus[:, None], -observed, observed)
+    ds["H"], ds["K"], ds["L"] = observed.T.astype(np.int32)
     return ds
 
 
@@ -115,12 +135,35 @@ def _guess_type(label: str, values: np.ndarray) -> str:
     return "R"
 
 
+def _hkl_to_stored(ds: DataSet, sg: SpaceGroup) -> DataSet:
+    """Inverse of _hkl_to_observed: reduce observed HKL to the ASU and encode
+    the orientation + Friedel parity in M/ISYM (unmerged MTZ convention)."""
+    ops = list(sg.ops)
+    hkl = ds[["H", "K", "L"]].to_numpy(np.int64)
+    asu, _ = sg.map_to_asu(hkl, anomalous=False)
+    rots = np.stack([op.rot_array for op in ops])         # (n,3,3)
+    eq = np.einsum("ni,oij->noj", hkl, rots)              # (N,n,3)
+    plus_hit = np.all(eq == asu[:, None, :], axis=-1)     # (N,n)
+    minus_hit = np.all(-eq == asu[:, None, :], axis=-1)
+    j_plus = np.argmax(plus_hit, axis=1)
+    j_minus = np.argmax(minus_hit, axis=1)
+    has_plus = plus_hit.any(axis=1)
+    isym = np.where(has_plus, 2 * j_plus + 1, 2 * j_minus + 2)
+    out = ds.copy().copy_context_from(ds)
+    out["H"], out["K"], out["L"] = asu.T.astype(np.int32)
+    m = out["M/ISYM"].to_numpy(np.int64) // 256  # preserve partiality flag
+    out["M/ISYM"] = (256 * m + isym).astype(np.int32)
+    return out
+
+
 def write_mtz(ds: DataSet, path: str, title: str = "careless-tpu") -> None:
+    sg: Optional[SpaceGroup] = ds.spacegroup or SpaceGroup.from_name("P 1")
+    cell: UnitCell = ds.cell or UnitCell(1, 1, 1)
+    if "M/ISYM" in ds.columns and sg is not None:
+        ds = _hkl_to_stored(ds, sg)
     cols = list(ds.columns)
     nrefl = len(ds)
     ncol = len(cols)
-    sg: Optional[SpaceGroup] = ds.spacegroup or SpaceGroup.from_name("P 1")
-    cell: UnitCell = ds.cell or UnitCell(1, 1, 1)
     mtz_dtypes = dict(getattr(ds, "mtz_dtypes", {}))
 
     data = np.empty((nrefl, ncol), dtype="<f4")

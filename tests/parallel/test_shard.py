@@ -1,0 +1,94 @@
+"""Shard-invariance tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+the N-device ELBO/gradients must equal the 1-device result."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from careless_tpu.parallel.shard import (pad_inputs_to_multiple,
+                                         shard_inputs_over_mesh)
+
+import sys
+sys.path.insert(0, "/root/repo")
+from __graft_entry__ import _tiny_problem, dryrun_multichip  # noqa: E402
+
+
+@pytest.mark.parametrize("laue", [False, True])
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_elbo_shard_invariance(laue, n_devices):
+    model, params, trainer, inputs = _tiny_problem(n_obs=203, laue=laue)
+    key = jax.random.PRNGKey(3)
+
+    # single-device value with the same padding/masking applied
+    if laue:
+        from careless_tpu.parallel.shard import _laue_group_aligned_order
+        padded = _laue_group_aligned_order(inputs, n_devices)
+    else:
+        padded = pad_inputs_to_multiple(inputs, n_devices)
+    loss_1dev, m1 = jax.jit(model.elbo)(params, key, padded)
+
+    sharded, mesh = shard_inputs_over_mesh(inputs, n_devices)
+    loss_ndev, mn = jax.jit(model.elbo)(params, key, sharded)
+    np.testing.assert_allclose(np.asarray(loss_1dev), np.asarray(loss_ndev),
+                               rtol=1e-5)
+
+    g1 = jax.jit(jax.grad(lambda p: model.elbo(p, key, padded)[0]))(params)
+    gn = jax.jit(jax.grad(lambda p: model.elbo(p, key, sharded)[0]))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("laue", [False, True])
+def test_mask_padding_does_not_change_loss(laue):
+    """Padding with masked rows must equal the unpadded loss up to the
+    constant garbage-row terms the reference also carries (mono: exactly)."""
+    model, params, trainer, inputs = _tiny_problem(n_obs=200, laue=laue)
+    key = jax.random.PRNGKey(5)
+    if laue:
+        # Laue: compare 1-shard group-aligned layout vs original
+        from careless_tpu.parallel.shard import _laue_group_aligned_order
+        relaid = _laue_group_aligned_order(inputs, 1)
+        loss_a, _ = model.elbo(params, key, relaid)
+        # same data, same groups -> same masked likelihood; KL identical.
+        # The original (reference-layout) loss includes garbage rows beyond
+        # the group count, so compare via the masked relayout at 2 shards:
+        relaid2 = _laue_group_aligned_order(inputs, 2)
+        loss_b, _ = model.elbo(params, key, relaid2)
+        np.testing.assert_allclose(np.asarray(loss_a), np.asarray(loss_b),
+                                   rtol=1e-5)
+    else:
+        # mask must make pad-row CONTENT irrelevant (same shapes -> same MC
+        # draws; only masked rows differ between a and b)
+        padded = pad_inputs_to_multiple(inputs, 7)
+        n = inputs.n_obs
+        garbage = padded._replace(
+            metadata=np.concatenate([padded.metadata[:n],
+                                     np.full_like(padded.metadata[n:], 9.9)]),
+            intensities=np.concatenate([padded.intensities[:n],
+                                        np.full_like(padded.intensities[n:],
+                                                     123.0)]),
+            refl_id=np.concatenate([padded.refl_id[:n],
+                                    np.full_like(padded.refl_id[n:], 3)]),
+        )
+        loss_a, _ = model.elbo(params, key, padded)
+        loss_b, _ = model.elbo(params, key, garbage)
+        np.testing.assert_allclose(np.asarray(loss_a), np.asarray(loss_b),
+                                   rtol=1e-6)
+
+
+def test_dryrun_multichip_8():
+    dryrun_multichip(8)
+
+
+def test_training_on_mesh_matches_single_device():
+    model, params, trainer, inputs = _tiny_problem(n_obs=160, laue=False)
+    key = jax.random.PRNGKey(9)
+    padded = pad_inputs_to_multiple(inputs, 8)
+    p1, h1 = trainer.train(dict(params), key, padded, steps=30, progress=False)
+    sharded, _ = shard_inputs_over_mesh(inputs, 8)
+    p8, h8 = trainer.train(dict(params), key, sharded, steps=30, progress=False)
+    np.testing.assert_allclose(h1["loss"], h8["loss"], rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
