@@ -24,7 +24,6 @@ TPU-native redesign (not a port):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import cached_property
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -70,7 +69,26 @@ class VariationalMergingModel:
         }
         if lik_init:
             params["likelihood"] = lik_init
+        if hasattr(self.prior, "init"):
+            prior_init = self.prior.init()
+            if prior_init:
+                params["prior"] = prior_init
         return params
+
+    def _built_prior(self, params: dict):
+        """Priors with trainable parameters (double-Wilson r) implement a
+        build(params) protocol; plain priors are used directly."""
+        if hasattr(self.prior, "build"):
+            return self.prior.build(params.get("prior", {}))
+        return self.prior
+
+    @property
+    def metric_names(self) -> Tuple[str, ...]:
+        extra = ()
+        if hasattr(self.prior, "r_init"):
+            extra = tuple(f"rDW_{i}"
+                          for i in range(np.shape(self.prior.r_init)[0]))
+        return ("loss", "NLL", "F KLDiv") + extra
 
     # --------------------------------------------------------------- forward
     def elbo(self, params: dict, key, inputs: Inputs) -> Tuple[Array, Dict]:
@@ -90,7 +108,8 @@ class VariationalMergingModel:
             # shard-padding rows contribute nothing to the likelihood
             ll = ll * inputs.mask
 
-        kl_term = q.log_prob(z_f) - self.prior.log_prob(z_f)  # (S, n_refl)
+        prior = self._built_prior(params)
+        kl_term = q.log_prob(z_f) - prior.log_prob(z_f)       # (S, n_refl)
 
         if self.kl_weight is None:
             nll = -jnp.sum(ll) / self.mc_samples
@@ -105,6 +124,8 @@ class VariationalMergingModel:
             loss = nll + self.kl_weight * kl
 
         metrics = {"loss": loss, "NLL": nll, "F KLDiv": kl}
+        if hasattr(prior, "metrics"):
+            metrics.update(prior.metrics())
         return loss, metrics
 
     def predict_ipred(self, params: dict, key, inputs: Inputs) -> Array:
@@ -151,9 +172,6 @@ class VariationalMergingModel:
 # ---------------------------------------------------------------------------
 # Training engine
 # ---------------------------------------------------------------------------
-METRIC_KEYS = ("loss", "NLL", "F KLDiv", "Grad Norm")
-
-
 @dataclass(eq=False)
 class Trainer:
     """scan-chunked full-batch trainer.
@@ -202,6 +220,7 @@ class Trainer:
         model = self.model
         opt = self.optimizer()
         frozen = set(self.freeze)
+        metric_keys = self.metric_keys
 
         def step(carry, key, inputs):
             params, opt_state = carry
@@ -217,10 +236,14 @@ class Trainer:
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics["Grad Norm"] = grad_norm
-            out = jnp.stack([metrics[k] for k in METRIC_KEYS])
+            out = jnp.stack([metrics[k] for k in metric_keys])
             return (params, opt_state), out
 
         return step
+
+    @property
+    def metric_keys(self) -> Tuple[str, ...]:
+        return self.model.metric_names + ("Grad Norm",)
 
     def train(self, params: dict, key, inputs: Inputs, steps: int,
               validation_data: Optional[Inputs] = None,
@@ -248,7 +271,8 @@ class Trainer:
                 lambda c, k: step(c, k, inputs), (params, opt_state), keys)
             return params, opt_state, metrics
 
-        history: Dict[str, list] = {k: [] for k in METRIC_KEYS}
+        metric_keys = self.metric_keys
+        history: Dict[str, list] = {k: [] for k in metric_keys}
         if validation_data is not None:
             history["NLL_val"] = []
 
@@ -264,8 +288,8 @@ class Trainer:
                     jnp.arange(done, done + n))
             params, opt_state, metrics = run_chunk(params, opt_state, keys,
                                                    inputs)
-            metrics = np.asarray(metrics)  # (n, len(METRIC_KEYS))
-            for j, k in enumerate(METRIC_KEYS):
+            metrics = np.asarray(metrics)  # (n, len(metric_keys))
+            for j, k in enumerate(metric_keys):
                 history[k].extend(metrics[:, j].tolist())
             if validation_data is not None:
                 v = float(val_nll(params, jax.random.fold_in(
@@ -274,11 +298,11 @@ class Trainer:
             done += n
             bar.update(n)
             bar.set_postfix({k: f"{history[k][-1]:0.2e}" for k in history})
-            if not np.isfinite(metrics[:, METRIC_KEYS.index("Grad Norm")]).all():
+            if not np.isfinite(metrics[:, metric_keys.index("Grad Norm")]).all():
                 print("Encountered numerical issues, terminating optimization early!")
                 # truncate history at the first bad step
                 bad = int(np.argmax(~np.isfinite(
-                    metrics[:, METRIC_KEYS.index("Grad Norm")])))
+                    metrics[:, metric_keys.index("Grad Norm")])))
                 n_keep = done - n + bad + 1
                 for k in history:
                     history[k] = history[k][:n_keep]

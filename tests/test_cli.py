@@ -141,3 +141,13 @@ def test_poly_rejects_stream(tmp_path, data_dir):
     with pytest.raises(ValueError, match="stream"):
         run(["poly", "dHKL,image_id", f"{data_dir}/crystfel.stream",
              "--iterations=10", "--spacegroups=P 63"], tmp_path)
+
+
+def test_mono_stream_file(tmp_path, data_dir):
+    out = run(["mono", "BATCH,s1x,s1y,s1z,ewald_offset",
+               f"{data_dir}/crystfel.stream", "--iterations=10",
+               "--spacegroups=P 43 21 2"], tmp_path)
+    ds = read_mtz(out + "_0.mtz")
+    assert ds.spacegroup.n_ops == 8
+    assert len(ds) > 0
+    assert np.isfinite(ds["F"].to_numpy(np.float64)).all()
