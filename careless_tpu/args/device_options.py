@@ -41,6 +41,21 @@ args_and_kwargs = (
         "type": int,
         "default": 0,
     }),
+    (("--rng-impl",), {
+        "help": "JAX PRNG implementation. 'threefry2x32' (default) is "
+                "deterministic across backends; 'rbg' uses the TPU hardware "
+                "RNG and is substantially faster for the per-step MC "
+                "sampling.",
+        "type": str,
+        "default": None,
+        "choices": ["threefry2x32", "rbg", "unsafe_rbg"],
+    }),
+    (("--profile-dir",), {
+        "help": "Capture a jax.profiler trace of the training loop into "
+                "this directory (view with TensorBoard / xprof).",
+        "type": str,
+        "default": None,
+    }),
     (("--jax-debug",), {
         "help": "Increase runtime log verbosity.",
         "action": "store_true",

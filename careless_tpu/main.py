@@ -60,14 +60,18 @@ def run_careless(parser):
 
     key = jax.random.PRNGKey(parser.seed)
     progress = not parser.disable_progress_bar
-    params, history = trainer.train(
-        params, key, train_dev, parser.iterations,
-        validation_data=test,
-        validation_frequency=parser.validation_frequency,
-        progress=progress,
-        message="Training",
-        chunk_size=parser.steps_per_compile,
-    )
+    from contextlib import nullcontext
+    profile_ctx = (jax.profiler.trace(parser.profile_dir)
+                   if getattr(parser, "profile_dir", None) else nullcontext())
+    with profile_ctx:
+        params, history = trainer.train(
+            params, key, train_dev, parser.iterations,
+            validation_data=test,
+            validation_frequency=parser.validation_frequency,
+            progress=progress,
+            message="Training",
+            chunk_size=parser.steps_per_compile,
+        )
 
     posterior_dist = model.posterior.distribution(params["posterior"])
     for i, ds in enumerate(dm.get_results(posterior_dist, inputs=train)):

@@ -24,6 +24,7 @@ TPU-native redesign (not a port):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -253,6 +254,9 @@ class Trainer:
               chunk_size: int = 100) -> Tuple[dict, Dict[str, list]]:
         """Run `steps` optimization steps; returns (params, history)."""
         opt = self.optimizer()
+        # run_chunk donates params/opt_state; copy so the caller's pytree
+        # survives (and so opt_state starts device-resident)
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         opt_state = opt.init(params)
         step = self.make_step()
 
@@ -265,7 +269,9 @@ class Trainer:
                 _, m = self.model.elbo(params, key, val_inputs)
                 return m["NLL"]
 
-        @jax.jit
+        # donate params/opt_state: they are dead after each chunk, so XLA
+        # updates them in place instead of copying
+        @partial(jax.jit, donate_argnums=(0, 1))
         def run_chunk(params, opt_state, keys, inputs):
             (params, opt_state), metrics = jax.lax.scan(
                 lambda c, k: step(c, k, inputs), (params, opt_state), keys)

@@ -30,7 +30,16 @@ def _identity_kernel(d_in: int, d_out: int) -> np.ndarray:
 
 @dataclass(frozen=True)
 class MLPScaler:
-    """Static config; parameters live in the pytree returned by init()."""
+    """Static config; parameters live in the pytree returned by init().
+
+    TPU layout optimization (`pack`): the reference-default width-10 matmuls
+    occupy <1% of the 128x128 MXU. With pack=G > 1, G observations' feature
+    vectors are concatenated along the contraction axis and the weight is
+    expanded block-diagonally (kron(I_G, W)), so one (N/G, G*d) x (G*d, G*w)
+    matmul computes G independent width-d matmuls at ~G x the MXU
+    utilization. Pure layout change: parameters, math, and gradients are
+    identical to the unpacked form. pack=0 auto-selects ~128/width.
+    """
 
     n_layers: int
     width: int
@@ -38,6 +47,7 @@ class MLPScaler:
     epsilon: float = 1e-7
     scale_bijector: str = "softplus"  # 'softplus' | 'exp'
     scale_multiplier: Optional[float] = None
+    pack: int = 0  # 0 = auto, 1 = off, G > 1 = explicit group size
 
     def init(self, key, metadata_dim: int) -> dict:
         del key  # deterministic identity init, matching the reference
@@ -60,11 +70,35 @@ class MLPScaler:
             return jnp.exp(raw) + self.epsilon
         raise ValueError(f"Unsupported scale bijector type, {self.scale_bijector}")
 
+    def _pack_group(self, metadata_dim: int) -> int:
+        if self.pack == 1:
+            return 1
+        if self.pack > 1:
+            return self.pack
+        g = max(1, 128 // max(metadata_dim, self.width))
+        return g
+
     def network(self, params: dict, x):
+        g = self._pack_group(x.shape[-1])
+        if g == 1 or x.ndim != 2:
+            for layer in params["layers"]:
+                x = jnp.dot(x, layer["w"], preferred_element_type=jnp.float32)
+                x = jax.nn.leaky_relu(x + layer["b"], self.leakiness)
+            return x
+        n = x.shape[0]
+        n_pad = (-n) % g
+        if n_pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((n_pad, x.shape[1]), x.dtype)], axis=0)
+        eye_g = jnp.eye(g, dtype=jnp.float32)
+        x = x.reshape(-1, g * x.shape[1])
         for layer in params["layers"]:
-            x = jnp.dot(x, layer["w"], preferred_element_type=jnp.float32)
-            x = jax.nn.leaky_relu(x + layer["b"], self.leakiness)
-        return x
+            w_bd = jnp.kron(eye_g, layer["w"])          # (g*d, g*w)
+            b_t = jnp.tile(layer["b"], g)
+            x = jnp.dot(x, w_bd, preferred_element_type=jnp.float32)
+            x = jax.nn.leaky_relu(x + b_t, self.leakiness)
+        x = x.reshape(-1, self.width)
+        return x[:n] if n_pad else x
 
     def head(self, params: dict, x) -> Normal:
         y = jnp.dot(x, params["out"]["w"],

@@ -34,6 +34,9 @@ class EnvironmentSettingsMixin(argparse.ArgumentParser):
         if getattr(parser, "run_eagerly", False):
             import jax
             jax.config.update("jax_disable_jit", True)
+        if getattr(parser, "rng_impl", None):
+            import jax
+            jax.config.update("jax_default_prng_impl", parser.rng_impl)
         return parser
 
 
