@@ -59,6 +59,19 @@ class VariationalMergingModel:
     scaler: Any
     mc_samples: int = 1
     kl_weight: Optional[float] = None
+    # use the fused Pallas likelihood kernel when the configuration allows
+    # (mono + Normal likelihood + MLP/Hybrid scaler + 1 MC sample)
+    fused_kernel: bool = False
+
+    def _fused_eligible(self, inputs: Inputs) -> bool:
+        from ..likelihoods.mono import NormalLikelihood as MonoNormal
+        from ..scaling.image import HybridImageScaler
+        from ..scaling.nn import MLPScaler
+        return (self.fused_kernel
+                and not inputs.is_laue
+                and self.mc_samples == 1
+                and isinstance(self.likelihood, MonoNormal)
+                and isinstance(self.scaler, (MLPScaler, HybridImageScaler)))
 
     # ------------------------------------------------------------------ init
     def init(self, key, inputs: Inputs, posterior_init: Tuple) -> dict:
@@ -94,6 +107,8 @@ class VariationalMergingModel:
     # --------------------------------------------------------------- forward
     def elbo(self, params: dict, key, inputs: Inputs) -> Tuple[Array, Dict]:
         """Negative ELBO (the loss) + metrics, one MC estimate."""
+        if self._fused_eligible(inputs):
+            return self._elbo_fused(params, key, inputs)
         k_f, k_s = jax.random.split(key)
         q = self.posterior.distribution(params["posterior"])
         z_f = q.sample(k_f, (self.mc_samples,))            # (S, n_refl)
@@ -121,6 +136,52 @@ class VariationalMergingModel:
                 nll = -jnp.sum(ll) / (self.mc_samples * jnp.sum(inputs.mask))
             else:
                 nll = -jnp.mean(ll)
+            kl = jnp.mean(kl_term)
+            loss = nll + self.kl_weight * kl
+
+        metrics = {"loss": loss, "NLL": nll, "F KLDiv": kl}
+        if hasattr(prior, "metrics"):
+            metrics.update(prior.metrics())
+        return loss, metrics
+
+    def _elbo_fused(self, params: dict, key, inputs: Inputs,
+                    noise=None) -> Tuple[Array, Dict]:
+        """Fused-kernel ELBO: the (N,)-sized likelihood chain runs in one
+        Pallas kernel (ops/fused_elbo.py); sampling of z_F and the KL stay
+        in XLA (n_refl-sized)."""
+        from ...ops.fused_elbo import fused_likelihood_sum
+        from ..scaling.image import HybridImageScaler
+
+        k_f, k_s = jax.random.split(key)
+        q = self.posterior.distribution(params["posterior"])
+        z_f = q.sample(k_f, ())                            # (n_refl,)
+
+        if isinstance(self.scaler, HybridImageScaler):
+            mlp_dist = self.scaler.mlp.apply(params["scaler"]["mlp"], inputs)
+            image_scales = self.scaler.image.scales(params["scaler"]["image"])
+            image_id = inputs.image_id
+        else:
+            mlp_dist = self.scaler.apply(params["scaler"], inputs)
+            image_scales = jnp.ones(1, jnp.float32)
+            image_id = jnp.zeros_like(inputs.refl_id)
+
+        seed = jax.random.randint(k_s, (), 0, jnp.iinfo(jnp.int32).max)
+        ll_sum = fused_likelihood_sum(
+            mlp_dist.loc, mlp_dist.scale, image_scales, z_f,
+            inputs.refl_id, image_id, inputs.intensities,
+            inputs.uncertainties, inputs.mask, seed=seed, noise=noise)
+
+        prior = self._built_prior(params)
+        kl_term = q.log_prob(z_f) - prior.log_prob(z_f)
+
+        if self.kl_weight is None:
+            nll = -ll_sum
+            kl = jnp.sum(kl_term)
+            loss = nll + kl
+        else:
+            n_eff = (jnp.sum(inputs.mask) if inputs.mask is not None
+                     else inputs.n_obs)
+            nll = -ll_sum / n_eff
             kl = jnp.mean(kl_term)
             loss = nll + self.kl_weight * kl
 
@@ -193,9 +254,8 @@ class Trainer:
     freeze: Tuple[str, ...] = ()            # param subtree names to freeze
 
     def optimizer(self) -> optax.GradientTransformation:
-        chain = []
-        if self.clipvalue is not None:
-            chain.append(optax.clip(self.clipvalue))
+        # per-leaf clipnorm (keras semantics) must see the unflattened tree
+        outer = []
         if self.clipnorm is not None:
             clipnorm = self.clipnorm
 
@@ -206,12 +266,18 @@ class Trainer:
                     return g * factor
                 return jax.tree.map(clip_leaf, updates)
 
-            chain.append(optax.stateless(lambda u, p: per_leaf_clip(u)))
+            outer.append(optax.stateless(lambda u, p: per_leaf_clip(u)))
+        # elementwise / global transforms + Adam are flatten-safe: run them
+        # over one contiguous vector instead of dozens of small per-leaf
+        # kernels (the per-leaf launch overhead dominates at these sizes)
+        inner = []
+        if self.clipvalue is not None:
+            inner.append(optax.clip(self.clipvalue))
         if self.global_clipnorm is not None:
-            chain.append(optax.clip_by_global_norm(self.global_clipnorm))
-        chain.append(optax.adam(self.learning_rate, b1=self.beta_1,
+            inner.append(optax.clip_by_global_norm(self.global_clipnorm))
+        inner.append(optax.adam(self.learning_rate, b1=self.beta_1,
                                 b2=self.beta_2, eps=1e-7))  # keras eps default
-        return optax.chain(*chain)
+        return optax.chain(*outer, optax.flatten(optax.chain(*inner)))
 
     # ------------------------------------------------------------------
     def make_step(self) -> Callable:
@@ -224,17 +290,22 @@ class Trainer:
         metric_keys = self.metric_keys
 
         def step(carry, key, inputs):
+            from jax.flatten_util import ravel_pytree
+
             params, opt_state = carry
             (loss, metrics), grads = jax.value_and_grad(
                 model.elbo, has_aux=True)(params, key, inputs)
-            grad_norm = _global_norm(grads)
-            # zero non-finite grads (reference variational.py:207-208)
-            grads = jax.tree.map(
-                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
             if frozen:
                 grads = {k: (jax.tree.map(jnp.zeros_like, v) if k in frozen
                              else v) for k, v in grads.items()}
-            updates, opt_state = opt.update(grads, opt_state, params)
+            # the parameter pytree has ~dozens of small leaves; running the
+            # norm/guard/Adam per-leaf costs more in kernel launches than in
+            # FLOPs, so do all of it on one flattened vector
+            flat_g, unravel = ravel_pytree(grads)
+            grad_norm = jnp.sqrt(jnp.sum(jnp.square(flat_g)))
+            # zero non-finite grads (reference variational.py:207-208)
+            flat_g = jnp.where(jnp.isfinite(flat_g), flat_g, 0.0)
+            updates, opt_state = opt.update(unravel(flat_g), opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics["Grad Norm"] = grad_norm
             out = jnp.stack([metrics[k] for k in metric_keys])

@@ -1,0 +1,125 @@
+"""Fused Pallas ELBO kernel: parity vs the pure-XLA path (interpret mode on
+the CPU mesh, externally supplied noise so both paths see identical eps)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from careless_tpu.models.base import Inputs
+from careless_tpu.ops.fused_elbo import fused_likelihood_sum
+
+from tests.models.test_variational import make_model, synthetic_inputs
+from careless_tpu.models.likelihoods.mono import NormalLikelihood
+
+
+def reference_ll_sum(loc, scale, a_tab, z_f, refl_id, image_id, iobs, sig,
+                     mask, noise):
+    a = a_tab[image_id]
+    z = a * loc + jnp.abs(a) * scale * noise
+    F = z_f[refl_id]
+    ipred = z * F * F
+    resid = (iobs - ipred) / sig
+    ll = -0.5 * resid ** 2 - jnp.log(sig) - 0.5 * jnp.log(2 * jnp.pi)
+    return jnp.sum(mask * ll)
+
+
+@pytest.fixture(scope="module")
+def problem(rng):
+    n, n_refl, n_img = 700, 90, 7
+    loc = rng.normal(size=n).astype(np.float32)
+    scale = (0.1 + rng.random(n)).astype(np.float32)
+    a_tab = (0.5 + rng.random(n_img)).astype(np.float32)
+    z_f = (0.1 + rng.random(n_refl)).astype(np.float32) * 3
+    refl_id = rng.integers(0, n_refl, n).astype(np.int32)
+    image_id = rng.integers(0, n_img, n).astype(np.int32)
+    iobs = rng.normal(2.0, 1.0, n).astype(np.float32)
+    sig = (0.2 + rng.random(n)).astype(np.float32)
+    mask = (rng.random(n) > 0.1).astype(np.float32)
+    noise = rng.normal(size=n).astype(np.float32)
+    return (loc, scale, a_tab, z_f, refl_id, image_id, iobs, sig, mask, noise)
+
+
+def test_forward_parity(problem):
+    loc, scale, a_tab, z_f, refl_id, image_id, iobs, sig, mask, noise = problem
+    fused = fused_likelihood_sum(loc, scale, a_tab, z_f, refl_id, image_id,
+                                 iobs, sig, mask, seed=0, noise=noise)
+    ref = reference_ll_sum(*[jnp.asarray(x) for x in problem])
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+
+def test_gradient_parity(problem):
+    loc, scale, a_tab, z_f, refl_id, image_id, iobs, sig, mask, noise = problem
+
+    def f_fused(loc, scale, a_tab, z_f):
+        return fused_likelihood_sum(loc, scale, a_tab, z_f, refl_id,
+                                    image_id, iobs, sig, mask, seed=0,
+                                    noise=noise)
+
+    def f_ref(loc, scale, a_tab, z_f):
+        return reference_ll_sum(loc, scale, a_tab, z_f, refl_id, image_id,
+                                iobs, sig, mask, noise)
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3))(loc, scale, a_tab, z_f)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(
+        *[jnp.asarray(x) for x in (loc, scale, a_tab, z_f)])
+    for a, b, name in zip(g_fused, g_ref, ["dloc", "dscale", "da", "dzf"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_fused_elbo_matches_xla_path(rng):
+    """Full model: fused vs XLA elbo with identical supplied noise."""
+    inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=300)
+    model, params = make_model(inputs, n_refl, n_images, NormalLikelihood(),
+                               scaler_kind="hybrid")
+    fused_model = model.__class__(**{**model.__dict__, "fused_kernel": True})
+
+    key = jax.random.PRNGKey(0)
+    noise = rng.normal(size=inputs.n_obs).astype(np.float32)
+
+    loss_fused, m_fused = fused_model._elbo_fused(params, key, inputs,
+                                                  noise=jnp.asarray(noise))
+
+    # reference path with the same z_f sample and the same eps
+    k_f, k_s = jax.random.split(key)
+    q = model.posterior.distribution(params["posterior"])
+    z_f = q.sample(k_f, ())
+    mlp_dist = model.scaler.mlp.apply(params["scaler"]["mlp"], inputs)
+    a = model.scaler.image.scales(params["scaler"]["image"])[inputs.image_id]
+    z = a * mlp_dist.loc + jnp.abs(a) * mlp_dist.scale * noise
+    ipred = z * jnp.square(z_f[inputs.refl_id])
+    lik = model.likelihood.build({}, inputs)
+    ll = lik.log_prob(ipred)
+    nll = -jnp.sum(ll)
+    kl = jnp.sum(q.log_prob(z_f) - model.prior.log_prob(z_f))
+    np.testing.assert_allclose(float(loss_fused), float(nll + kl), rtol=1e-5)
+    np.testing.assert_allclose(float(m_fused["NLL"]), float(nll), rtol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_random_bits has no interpret-mode "
+                           "implementation; exercised on TPU by bench.py")
+def test_fused_elbo_prng_statistics(rng):
+    """With in-kernel PRNG the loss must be statistically consistent with
+    the XLA path (same magnitude, finite)."""
+    inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=500)
+    model, params = make_model(inputs, n_refl, n_images, NormalLikelihood())
+    fused_model = model.__class__(**{**model.__dict__, "fused_kernel": True})
+    losses_f = [float(fused_model.elbo(params, jax.random.PRNGKey(i),
+                                       inputs)[0]) for i in range(6)]
+    losses_x = [float(model.elbo(params, jax.random.PRNGKey(i),
+                                 inputs)[0]) for i in range(6)]
+    assert np.isfinite(losses_f).all()
+    mf, mx = np.mean(losses_f), np.mean(losses_x)
+    assert abs(mf - mx) / abs(mx) < 0.2, (mf, mx)
+
+
+def test_fused_fallback_for_laue(rng):
+    inputs, n_refl, n_images = synthetic_inputs(rng, laue=True)
+    from careless_tpu.models.likelihoods import laue as laue_lik
+    model, params = make_model(inputs, n_refl, n_images,
+                               laue_lik.NormalLikelihood())
+    fused_model = model.__class__(**{**model.__dict__, "fused_kernel": True})
+    assert not fused_model._fused_eligible(inputs)
+    loss, _ = fused_model.elbo(params, jax.random.PRNGKey(0), inputs)
+    assert np.isfinite(float(loss))
