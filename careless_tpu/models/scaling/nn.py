@@ -91,9 +91,17 @@ class MLPScaler:
             x = jnp.concatenate(
                 [x, jnp.zeros((n_pad, x.shape[1]), x.dtype)], axis=0)
         eye_g = jnp.eye(g, dtype=jnp.float32)
+
+        def block_diag(w):
+            # kron(I_g, w) without jnp.kron's nested jit (which trips an
+            # MLIR lowering-cache bug under pallas_call + custom_vjp)
+            d_in, d_out = w.shape
+            return (eye_g[:, None, :, None] * w[None, :, None, :]
+                    ).reshape(g * d_in, g * d_out)
+
         x = x.reshape(-1, g * x.shape[1])
         for layer in params["layers"]:
-            w_bd = jnp.kron(eye_g, layer["w"])          # (g*d, g*w)
+            w_bd = block_diag(layer["w"])               # (g*d, g*w)
             b_t = jnp.tile(layer["b"], g)
             x = jnp.dot(x, w_bd, preferred_element_type=jnp.float32)
             x = jax.nn.leaky_relu(x + b_t, self.leakiness)
