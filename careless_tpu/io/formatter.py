@@ -192,7 +192,10 @@ class DataFormatter:
     def _finalize_metadata(self, data: DataSet) -> np.ndarray:
         data["dHKL"] = data["dHKL"].astype("float32") ** -2.0
         check_for_metadata_key_error(self.metadata_keys, data)
-        metadata = data[list(self.metadata_keys)].to_numpy(np.float32)
+        # copy: pandas may hand back a read-only view and standardization
+        # mutates in place
+        metadata = np.array(data[list(self.metadata_keys)].to_numpy(np.float32),
+                            copy=True)
         if self.standardize:
             metadata = standardize_metadata(metadata, list(self.metadata_keys))
         if self.positional_encoding_keys is not None:
