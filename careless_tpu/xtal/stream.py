@@ -41,12 +41,11 @@ def _parse_vec(line: str) -> np.ndarray:
 def read_crystfel(path: str, spacegroup=None) -> DataSet:
     try:
         from ._native import parse_stream as _native_parse
-    except Exception:
-        _native_parse = None
-    if _native_parse is not None:
         arrays, cell_params = _native_parse(path)
-        return _assemble(arrays, cell_params, spacegroup)
-    return _read_crystfel_python(path, spacegroup)
+    except ImportError:
+        # Native library unbuilt (`make -C cpp`): pure-Python fallback.
+        return _read_crystfel_python(path, spacegroup)
+    return _assemble(arrays, cell_params, spacegroup)
 
 
 def _read_crystfel_python(path: str, spacegroup=None) -> DataSet:
