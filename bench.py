@@ -44,7 +44,7 @@ def build_problem(n_obs=100_000, n_refl=10_000, n_images=200, d_meta=10,
     iobs = iobs + 0.1 * np.sqrt(np.abs(iobs)) * rng.normal(size=n_obs)
     sig = np.full(n_obs, 0.1, np.float32)
     inputs = Inputs.from_arrays(refl_id, image_id, np.zeros(n_obs), metadata,
-                                iobs, sig)
+                                iobs, sig).with_plans(n_refl, n_images)
 
     centric = rng.random(n_refl) < 0.2
     prior = WilsonPrior(centric, np.ones(n_refl, np.float32))

@@ -19,6 +19,17 @@ import numpy as np
 Array = jax.Array
 
 
+class GatherPlans(NamedTuple):
+    """Precomputed fast-transpose plans for the ELBO's static-index gathers
+    (ops/plan_gather.py). Derived data: recomputed after any row subsetting."""
+
+    refl: Optional["GatherPlanLike"] = None   # for z_f[refl_id]
+    image: Optional["GatherPlanLike"] = None  # for image_scales[image_id]
+
+
+GatherPlanLike = tuple  # ops.plan_gather.GatherPlan (kept untyped to avoid a cycle)
+
+
 class Inputs(NamedTuple):
     """Packed per-observation inputs (mono: first 6 fields; Laue: all 8)."""
 
@@ -31,6 +42,7 @@ class Inputs(NamedTuple):
     wavelength: Optional[Array] = None    # (N,) f32, Laue only
     harmonic_id: Optional[Array] = None   # (N,) int32, Laue only
     mask: Optional[Array] = None          # (N,) f32, 0 on shard-padding rows
+    plans: Optional[GatherPlans] = None   # static gather-transpose plans
 
     @property
     def is_laue(self) -> bool:
@@ -44,10 +56,24 @@ class Inputs(NamedTuple):
         return self._replace(**kwargs)
 
     def select(self, mask_or_idx) -> "Inputs":
-        """Row-select every per-observation array (host-side numpy only)."""
+        """Row-select every per-observation array (host-side numpy only).
+        Gather plans are derived data and are dropped (recompute via
+        with_plans after subsetting)."""
         def take(x):
             return None if x is None else np.asarray(x)[mask_or_idx]
-        return Inputs(*[take(x) for x in self])
+        return Inputs(*[take(x) for x in self[:-1]], None)
+
+    def with_plans(self, n_refl: int, n_images: Optional[int] = None
+                   ) -> "Inputs":
+        """Attach static gather-transpose plans (host-side; see
+        ops/plan_gather.py). Speeds up the backward pass of the ELBO's
+        table gathers on the unsharded path."""
+        from ..ops.plan_gather import make_gather_plan
+        if n_images is None:
+            n_images = int(np.asarray(self.image_id).max()) + 1
+        return self._replace(plans=GatherPlans(
+            refl=make_gather_plan(self.refl_id, n_refl),
+            image=make_gather_plan(self.image_id, n_images)))
 
     @staticmethod
     def from_arrays(refl_id, image_id, file_id, metadata, intensities,

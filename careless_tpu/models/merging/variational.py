@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ...ops.plan_gather import plan_gather
 from ..base import Inputs
 
 Array = jax.Array
@@ -116,7 +117,9 @@ class VariationalMergingModel:
         scale_dist = self.scaler.apply(params["scaler"], inputs)
         z_scale = scale_dist.sample(k_s, (self.mc_samples,))  # (S, N)
 
-        ipred = z_scale * jnp.square(z_f[:, inputs.refl_id])  # (S, N)
+        z_obs = plan_gather(z_f, inputs.refl_id,
+                            inputs.plans.refl if inputs.plans else None)
+        ipred = z_scale * jnp.square(z_obs)                   # (S, N)
 
         likelihood = self.likelihood.build(params.get("likelihood", {}), inputs)
         ll = likelihood.log_prob(ipred)                       # (S, N)
@@ -166,10 +169,15 @@ class VariationalMergingModel:
             image_id = jnp.zeros_like(inputs.refl_id)
 
         seed = jax.random.randint(k_s, (), 0, jnp.iinfo(jnp.int32).max)
+        plans = inputs.plans
+        image_plan = (plans.image if plans is not None
+                      and image_scales.shape[0] > 1 else None)
         ll_sum = fused_likelihood_sum(
             mlp_dist.loc, mlp_dist.scale, image_scales, z_f,
             inputs.refl_id, image_id, inputs.intensities,
-            inputs.uncertainties, inputs.mask, seed=seed, noise=noise)
+            inputs.uncertainties, inputs.mask, seed=seed, noise=noise,
+            refl_plan=plans.refl if plans is not None else None,
+            image_plan=image_plan)
 
         prior = self._built_prior(params)
         kl_term = q.log_prob(z_f) - prior.log_prob(z_f)

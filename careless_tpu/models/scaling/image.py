@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.distributions import Normal
+from ...ops.plan_gather import plan_gather
 from ..base import Inputs
 from .nn import MLPScaler
 
@@ -38,7 +39,8 @@ class ImageScaler:
         return jnp.concatenate([jnp.ones(1, jnp.float32), params["scales"]])
 
     def apply(self, params: dict, inputs: Inputs):
-        return self.scales(params)[inputs.image_id]
+        return plan_gather(self.scales(params), inputs.image_id,
+                           inputs.plans.image if inputs.plans else None)
 
 
 @dataclass(frozen=True)

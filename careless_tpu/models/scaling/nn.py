@@ -48,6 +48,9 @@ class MLPScaler:
     scale_bijector: str = "softplus"  # 'softplus' | 'exp'
     scale_multiplier: Optional[float] = None
     pack: int = 0  # 0 = auto, 1 = off, G > 1 = explicit group size
+    # single-pallas-kernel trunk (ops/fused_mlp.py): one kernel per
+    # direction instead of ~3*n_layers tiny XLA matmul dispatches
+    fused: bool = True
 
     def init(self, key, metadata_dim: int) -> dict:
         del key  # deterministic identity init, matching the reference
@@ -79,6 +82,9 @@ class MLPScaler:
         return g
 
     def network(self, params: dict, x):
+        if self.fused and x.ndim == 2 and self.n_layers >= 2:
+            from ...ops.fused_mlp import fused_mlp_trunk
+            return fused_mlp_trunk(x, params["layers"], self.leakiness)
         g = self._pack_group(x.shape[-1])
         if g == 1 or x.ndim != 2:
             for layer in params["layers"]:

@@ -4,22 +4,25 @@ Covers the per-observation chain of SURVEY.md §3.2 in one VMEM-resident pass
 (mono data, Normal likelihood, 1 MC sample — the production default path):
 
     eps   ~ N(0,1)                      (in-kernel TPU PRNG, Box-Muller)
-    z     = a[image_id] * loc + |a[image_id]| * scale * eps
-    F     = z_f[refl_id]                (posterior sample table in VMEM)
-    ipred = z * F^2
+    z     = a * loc + |a| * scale * eps (a = image scale, gathered by XLA)
+    ipred = z * F^2                     (F = posterior sample, gathered by XLA)
     ll    = logNormal(ipred; iobs, sig)
     out   = sum(mask * ll)
 
 plus a custom VJP whose backward kernel recomputes the forward (same PRNG
-seed -> identical eps) and emits dloc, dscale, and scatter-added dz_f / da
-tables. XLA handles everything n_refl-sized (posterior sampling, KL) and the
-scaling MLP; the kernel removes the separate (N,)-sized noise generation and
-the materialization of every elementwise intermediate of forward AND
-backward.
+seed -> identical eps) and emits per-observation dloc, dscale, da, dF.
+
+The two table lookups (z_f by refl_id, image scale by image_id) happen in
+XLA *outside* the custom_vjp boundary: Mosaic's in-kernel gather only
+supports same-shape take_along_axis (jax/_src/pallas/mosaic/lowering.py
+_gather_lowering_rule), and hoisting them means JAX's autodiff transposes
+them into duplicate-safe scatter-adds for free. The kernel removes the
+separate (N,)-sized noise generation and the materialization of every
+elementwise intermediate of forward AND backward.
 
 Layout: all per-observation arrays are reshaped to (R, 128) with observation
-o at (o // 128, o % 128); R is padded to a multiple of the 8-row block so
-each grid step sees an aligned (BR, 128) tile.
+o at (o // 128, o % 128); R is padded to a multiple of BLOCK_ROWS so each
+grid step sees an aligned (BLOCK_ROWS, 128) tile.
 """
 from __future__ import annotations
 
@@ -55,17 +58,17 @@ def _normal_from_bits(shape):
     return r * jnp.cos(_TWO_PI * u2)
 
 
-def _common(seed_ref, i, noise_ref, loc_ref, scale_ref, a_tab_ref, zf_tab_ref,
-            refl_id_ref, image_id_ref, iobs_ref, sig_ref, mask_ref):
+def _common(seed_ref, i, noise_ref, loc_ref, scale_ref, a_ref, f_ref,
+            iobs_ref, sig_ref):
     """Recompute the forward chain for one block; shared by fwd and bwd."""
     if noise_ref is None:
         pltpu.prng_seed(seed_ref[0] + i)
         eps = _normal_from_bits(loc_ref.shape)
     else:
         eps = noise_ref[:]
-    a = a_tab_ref[0, image_id_ref[:]]
+    a = a_ref[:]
     z = a * loc_ref[:] + jnp.abs(a) * scale_ref[:] * eps
-    F = zf_tab_ref[0, refl_id_ref[:]]
+    F = f_ref[:]
     ipred = z * F * F
     sig = sig_ref[:]
     resid = (iobs_ref[:] - ipred) / sig
@@ -76,9 +79,8 @@ def _make_fwd_kernel(with_noise: bool):
     """Input refs arrive before output refs, so the optional noise input
     must be bound before out_ref."""
 
-    def kernel(seed_ref, loc_ref, scale_ref, a_tab_ref, zf_tab_ref,
-               refl_id_ref, image_id_ref, iobs_ref, sig_ref, mask_ref,
-               *rest):
+    def kernel(seed_ref, loc_ref, scale_ref, a_ref, f_ref, iobs_ref, sig_ref,
+               mask_ref, *rest):
         noise_ref, out_ref = (rest if with_noise else (None, rest[0]))
         i = pl.program_id(0)
 
@@ -87,8 +89,8 @@ def _make_fwd_kernel(with_noise: bool):
             out_ref[0, 0] = 0.0
 
         _, _, _, _, _, sig, resid = _common(
-            seed_ref, i, noise_ref, loc_ref, scale_ref, a_tab_ref, zf_tab_ref,
-            refl_id_ref, image_id_ref, iobs_ref, sig_ref, mask_ref)
+            seed_ref, i, noise_ref, loc_ref, scale_ref, a_ref, f_ref,
+            iobs_ref, sig_ref)
         ll = -0.5 * resid * resid - jnp.log(sig) - 0.5 * _LOG_2PI
         out_ref[0, 0] += jnp.sum(mask_ref[:] * ll)
 
@@ -97,40 +99,30 @@ def _make_fwd_kernel(with_noise: bool):
 
 def _make_bwd_kernel(with_noise: bool):
     """Emits per-observation gradient contributions; the duplicate-index
-    scatter-adds into the z_f / image-scale tables happen in XLA afterwards
-    (an in-kernel `ref[idx] += v` is a gather-add-scatter and silently drops
-    duplicate indices)."""
+    scatter-adds into the z_f / image-scale tables are the autodiff
+    transpose of the XLA gathers in `fused_likelihood_sum`."""
 
-    def kernel(seed_ref, loc_ref, scale_ref, a_tab_ref, zf_tab_ref,
-               refl_id_ref, image_id_ref, iobs_ref, sig_ref, mask_ref,
-               *rest):
+    def kernel(seed_ref, loc_ref, scale_ref, a_ref, f_ref, iobs_ref, sig_ref,
+               mask_ref, *rest):
         if with_noise:
-            noise_ref, dloc_ref, dscale_ref, dzfc_ref, dac_ref = rest
+            noise_ref, dloc_ref, dscale_ref, da_ref, df_ref = rest
         else:
             noise_ref = None
-            dloc_ref, dscale_ref, dzfc_ref, dac_ref = rest
+            dloc_ref, dscale_ref, da_ref, df_ref = rest
 
         i = pl.program_id(0)
         eps, a, z, F, ipred, sig, resid = _common(
-            seed_ref, i, noise_ref, loc_ref, scale_ref, a_tab_ref, zf_tab_ref,
-            refl_id_ref, image_id_ref, iobs_ref, sig_ref, mask_ref)
+            seed_ref, i, noise_ref, loc_ref, scale_ref, a_ref, f_ref,
+            iobs_ref, sig_ref)
         # d ll_sum / d ipred
         g = mask_ref[:] * resid / sig
         dz = g * F * F
         dloc_ref[:] = dz * a
         dscale_ref[:] = dz * jnp.abs(a) * eps
-        dzfc_ref[:] = g * z * 2.0 * F
-        dac_ref[:] = dz * loc_ref[:] + jnp.sign(a) * scale_ref[:] * eps * dz
+        df_ref[:] = g * z * 2.0 * F
+        da_ref[:] = dz * loc_ref[:] + jnp.sign(a) * scale_ref[:] * eps * dz
 
     return kernel
-
-
-def _pad_rows(x, rows):
-    r = x.shape[0]
-    if r == rows:
-        return x
-    pad = jnp.zeros((rows - r,) + x.shape[1:], x.dtype)
-    return jnp.concatenate([x, pad], axis=0)
 
 
 def _to_lanes(x, rows, fill=0.0):
@@ -142,35 +134,30 @@ def _to_lanes(x, rows, fill=0.0):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_ll(static, seed, loc, scale, a_tab, zf_tab, refl_id, image_id,
-              iobs, sig, mask, noise):
-    return _fused_ll_fwd(static, seed, loc, scale, a_tab, zf_tab, refl_id,
-                         image_id, iobs, sig, mask, noise)[0]
+def _fused_ll(static, seed, loc, scale, a, f, iobs, sig, mask, noise):
+    return _fused_ll_fwd(static, seed, loc, scale, a, f, iobs, sig, mask,
+                         noise)[0]
 
 
 def _specs(static, with_noise):
-    n_rows, n_refl_pad, n_img_pad = static
+    n_rows = static[0]
     grid = (n_rows // BLOCK_ROWS,)
     blk = lambda: pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
-    tab = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
         blk(), blk(),                            # loc, scale
-        tab(n_img_pad), tab(n_refl_pad),         # a table, z_f table
-        blk(), blk(), blk(), blk(), blk(),       # refl, image, iobs, sig, mask
+        blk(), blk(),                            # a, F (pre-gathered)
+        blk(), blk(), blk(),                     # iobs, sig, mask
     ]
     if with_noise:
         in_specs.append(blk())
-    return grid, in_specs, tab, blk
+    return grid, in_specs, blk
 
 
-def _fused_ll_fwd(static, seed, loc, scale, a_tab, zf_tab, refl_id, image_id,
-                  iobs, sig, mask, noise):
-    grid, in_specs, tab, blk = _specs(static, noise is not None)
-    args = [seed, loc, scale, a_tab, zf_tab, refl_id, image_id, iobs, sig,
-            mask]
+def _fused_ll_fwd(static, seed, loc, scale, a, f, iobs, sig, mask, noise):
+    grid, in_specs, blk = _specs(static, noise is not None)
+    args = [seed, loc, scale, a, f, iobs, sig, mask]
     if noise is not None:
         args.append(noise)
     out = pl.pallas_call(
@@ -182,21 +169,18 @@ def _fused_ll_fwd(static, seed, loc, scale, a_tab, zf_tab, refl_id, image_id,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=_interpret(),
     )(*args)
-    res = (seed, loc, scale, a_tab, zf_tab, refl_id, image_id, iobs, sig,
-           mask, noise)
+    res = (seed, loc, scale, a, f, iobs, sig, mask, noise)
     return out[0, 0], res
 
 
 def _fused_ll_bwd(static, res, ct):
-    (seed, loc, scale, a_tab, zf_tab, refl_id, image_id, iobs, sig, mask,
-     noise) = res
-    n_rows, n_refl_pad, n_img_pad = static
-    grid, in_specs, tab, blk = _specs(static, noise is not None)
-    args = [seed, loc, scale, a_tab, zf_tab, refl_id, image_id, iobs, sig,
-            mask]
+    (seed, loc, scale, a, f, iobs, sig, mask, noise) = res
+    n_rows = static[0]
+    grid, in_specs, blk = _specs(static, noise is not None)
+    args = [seed, loc, scale, a, f, iobs, sig, mask]
     if noise is not None:
         args.append(noise)
-    dloc, dscale, dzf_contrib, da_contrib = pl.pallas_call(
+    dloc, dscale, da, df = pl.pallas_call(
         _make_bwd_kernel(noise is not None),
         grid=grid,
         in_specs=in_specs,
@@ -206,14 +190,9 @@ def _fused_ll_bwd(static, res, ct):
             for _ in range(4)),
         interpret=_interpret(),
     )(*args)
-    # duplicate-safe scatter-adds into the parameter tables (XLA)
-    dzf = jnp.zeros((1, n_refl_pad), jnp.float32).at[
-        0, refl_id.reshape(-1)].add(dzf_contrib.reshape(-1))
-    da = jnp.zeros((1, n_img_pad), jnp.float32).at[
-        0, image_id.reshape(-1)].add(da_contrib.reshape(-1))
     zero = lambda x: None if x is None else jnp.zeros_like(x)
-    return (None, ct * dloc, ct * dscale, ct * da, ct * dzf, None, None,
-            None, None, None, zero(noise))
+    return (None, ct * dloc, ct * dscale, ct * da, ct * df, None, None,
+            None, zero(noise))
 
 
 _fused_ll.defvjp(_fused_ll_fwd, _fused_ll_bwd)
@@ -221,7 +200,8 @@ _fused_ll.defvjp(_fused_ll_fwd, _fused_ll_bwd)
 
 def fused_likelihood_sum(loc, scale, image_scales, z_f, refl_id, image_id,
                          iobs, sig, mask=None, *, seed,
-                         noise: Optional[jax.Array] = None):
+                         noise: Optional[jax.Array] = None,
+                         refl_plan=None, image_plan=None):
     """sum over observations of mask * logNormal(z*F^2; iobs, sig) with
     z = a*loc + |a|*scale*eps. Differentiable w.r.t. loc, scale,
     image_scales, z_f.
@@ -235,23 +215,19 @@ def fused_likelihood_sum(loc, scale, image_scales, z_f, refl_id, image_id,
     to_lanes = lambda x, fill=0.0: _to_lanes(jnp.asarray(x), n_rows, fill)
 
     mask_arr = jnp.ones(n, jnp.float32) if mask is None else mask
-    n_refl = z_f.shape[0]
-    n_refl_pad = -(-n_refl // LANES) * LANES
-    zf_tab = jnp.concatenate(
-        [z_f, jnp.ones(n_refl_pad - n_refl, z_f.dtype)]).reshape(1, -1)
-    n_img = image_scales.shape[0]
-    n_img_pad = -(-n_img // LANES) * LANES
-    a_tab = jnp.concatenate(
-        [image_scales,
-         jnp.ones(n_img_pad - n_img, image_scales.dtype)]).reshape(1, -1)
+    # XLA-side table gathers (autodiff transposes these into the
+    # duplicate-safe scatter-adds the backward pass needs; with a static
+    # GatherPlan the transpose is the fast sorted-segment form)
+    from .plan_gather import plan_gather
+    a_obs = plan_gather(image_scales, image_id, image_plan)
+    f_obs = plan_gather(z_f, refl_id, refl_plan)
 
-    static = (int(n_rows), int(n_refl_pad), int(n_img_pad))
+    static = (int(n_rows),)
     seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
     out = _fused_ll(
         static, seed_arr,
-        to_lanes(loc), to_lanes(scale), a_tab, zf_tab,
-        to_lanes(refl_id.astype(jnp.int32), 0),
-        to_lanes(image_id.astype(jnp.int32), 0),
-        to_lanes(iobs), to_lanes(sig, 1.0), to_lanes(mask_arr, 0.0),
+        to_lanes(loc), to_lanes(scale), to_lanes(a_obs, 1.0),
+        to_lanes(f_obs, 1.0), to_lanes(iobs), to_lanes(sig, 1.0),
+        to_lanes(mask_arr, 0.0),
         None if noise is None else to_lanes(noise))
     return out

@@ -1,0 +1,195 @@
+"""Fused Pallas kernel for the scaling-MLP trunk (the step's main MXU work).
+
+The reference-default scaler is a 20-layer width-10 MLP over every
+observation's metadata (/root/reference/careless/models/scaling/nn.py:55-90,
+args/scaling.py:21-31). Executed layer-by-layer in XLA that is ~60 tiny
+dispatches per train step (20 forward + 40 backward matmuls), each far too
+small to fill the MXU pipeline — measured 2.3 ms of a 3.7 ms step on v5e at
+100k observations, i.e. ~7x above its FLOP cost.
+
+This kernel runs the ENTIRE trunk in one pallas_call per direction:
+
+- observations are lane-packed g-per-row exactly like MLPScaler's pack
+  layout (nn.py block_diag): row r of the (R, 128) activation tile holds g
+  observations' width-D feature vectors side by side, and every layer's
+  (D, D) weight is expanded to a block-diagonal (g*D, g*D) matrix padded to
+  128x128 — one (BR, 128) x (128, 128) MXU matmul computes g*BR
+  observations' layer;
+- all L padded weights live in VMEM for the whole grid (L x 64 KB);
+- the backward kernel recomputes the forward activations in VMEM (they
+  never touch HBM) and accumulates dW/db across grid steps in the output
+  block, emitting dx per block.
+
+Zero-padding (rows beyond N/g, lanes beyond g*D) is self-consistent: padded
+input columns are zero, padded weight rows/cols are zero, and the upstream
+cotangent for sliced-away rows is zero, so no gradient leaks.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+BLOCK_ROWS = 256
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_kernel(n_layers: int, leakiness: float):
+    def kernel(x_ref, w_ref, b_ref, out_ref):
+        h = x_ref[:]
+        for l in range(n_layers):
+            h = jnp.dot(h, w_ref[l], preferred_element_type=jnp.float32)
+            h = h + b_ref[l:l + 1, :]
+            h = jnp.where(h >= 0, h, leakiness * h)
+        out_ref[:] = h
+    return kernel
+
+
+def _bwd_kernel(n_layers: int, leakiness: float):
+    def kernel(x_ref, w_ref, b_ref, dy_ref, dx_ref, dw_ref, db_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+            db_ref[:] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+        # recompute forward, keeping every activation in VMEM/registers
+        acts = [x_ref[:]]
+        h = acts[0]
+        for l in range(n_layers):
+            h = jnp.dot(h, w_ref[l], preferred_element_type=jnp.float32)
+            h = h + b_ref[l:l + 1, :]
+            h = jnp.where(h >= 0, h, leakiness * h)
+            acts.append(h)
+
+        dh = dy_ref[:]
+        for l in range(n_layers - 1, -1, -1):
+            # leaky_relu'(pre): act and pre share sign (leakiness > 0)
+            dpre = dh * jnp.where(acts[l + 1] >= 0, 1.0, leakiness)
+            dw_ref[l] += jax.lax.dot_general(
+                acts[l], dpre, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db_ref[l:l + 1, :] += jnp.sum(dpre, axis=0, keepdims=True)
+            dh = jax.lax.dot_general(
+                dpre, w_ref[l], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dx_ref[:] = dh
+    return kernel
+
+
+def _specs(n_rows: int, n_layers: int):
+    grid = (n_rows // BLOCK_ROWS,)
+    blk = lambda: pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((n_layers, LANES, LANES), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((n_layers, LANES), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return grid, blk, w_spec, b_spec
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _trunk(n_rows, leakiness, x, w, b):
+    return _trunk_fwd(n_rows, leakiness, x, w, b)[0]
+
+
+def _trunk_fwd(n_rows, leakiness, x, w, b):
+    n_layers = w.shape[0]
+    grid, blk, w_spec, b_spec = _specs(n_rows, n_layers)
+    out = pl.pallas_call(
+        _fwd_kernel(n_layers, leakiness),
+        grid=grid,
+        in_specs=[blk(), w_spec, b_spec],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(x, w, b)
+    return out, (x, w, b)
+
+
+def _trunk_bwd(n_rows, leakiness, res, dy):
+    x, w, b = res
+    n_layers = w.shape[0]
+    grid, blk, w_spec, b_spec = _specs(n_rows, n_layers)
+    dx, dw, db = pl.pallas_call(
+        _bwd_kernel(n_layers, leakiness),
+        grid=grid,
+        in_specs=[blk(), w_spec, b_spec, blk()],
+        out_specs=(blk(), w_spec, b_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, LANES), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(x, w, b, dy)
+    return dx, dw, db
+
+
+_trunk.defvjp(_trunk_fwd, _trunk_bwd)
+
+
+def pack_params(layers, d_slot: int, group: int):
+    """Stack per-layer (d_in, d_out) weights into block-diagonal padded
+    (L, 128, 128) + (L, 128) tensors. Differentiable (pure jnp), so
+    gradients flow back to the original parameter pytree."""
+    n_layers = len(layers)
+    ws = []
+    bs = []
+    for layer in layers:
+        wl, bl = layer["w"], layer["b"]
+        d_in, d_out = wl.shape
+        w_pad = jnp.zeros((d_slot, d_slot), jnp.float32)
+        w_pad = w_pad.at[:d_in, :d_out].set(wl)
+        # block-diagonal expansion: slot j maps lanes [j*D, j*D+D)
+        eye_g = jnp.eye(group, dtype=jnp.float32)
+        w_bd = (eye_g[:, None, :, None] * w_pad[None, :, None, :]
+                ).reshape(group * d_slot, group * d_slot)
+        w_full = jnp.zeros((LANES, LANES), jnp.float32)
+        w_full = w_full.at[:group * d_slot, :group * d_slot].set(w_bd)
+        b_pad = jnp.zeros(d_slot, jnp.float32).at[:d_out].set(bl)
+        b_full = jnp.zeros(LANES, jnp.float32)
+        b_full = b_full.at[:group * d_slot].set(jnp.tile(b_pad, group))
+        ws.append(w_full)
+        bs.append(b_full)
+    return jnp.stack(ws), jnp.stack(bs)
+
+
+def fused_mlp_trunk(x, layers, leakiness: float):
+    """Run the full hidden-layer stack over metadata x (N, d) in one Pallas
+    kernel pass; returns (N, width) activations. layers: list of {'w','b'}
+    with layer 0 mapping d -> width and the rest width -> width."""
+    n, d_in = x.shape
+    width = layers[0]["w"].shape[1]
+    d_slot = max(d_in, width)
+    group = max(1, LANES // d_slot)
+    w, b = pack_params(layers, d_slot, group)
+
+    # pack observations g-per-row: obs o -> (row o//g, slot o%g)
+    rows_real = -(-n // group)
+    n_rows = -(-rows_real // BLOCK_ROWS) * BLOCK_ROWS
+    x_pad = jnp.zeros((n_rows * group, d_slot), jnp.float32)
+    x_pad = x_pad.at[:n, :d_in].set(x)
+    x2d = jnp.zeros((n_rows, LANES), jnp.float32)
+    x2d = x2d.at[:, :group * d_slot].set(
+        x_pad.reshape(n_rows, group * d_slot))
+
+    h = _trunk(int(n_rows), float(leakiness), x2d, w, b)
+
+    # unpack: slot j's output lanes [j*D, j*D+width)
+    h = h[:, :group * d_slot].reshape(n_rows * group, d_slot)[:n, :width]
+    return h
+
+
+def fused_eligible(x, n_layers: int) -> bool:
+    """The kernel pays off for deep trunks on real 2-D batches."""
+    return x.ndim == 2 and n_layers >= 2

@@ -165,6 +165,9 @@ def shard_inputs_over_mesh(inputs: Inputs, num_devices: int, devices=None
     """Place the packed inputs on an 'obs'-sharded mesh; returns the
     device-resident Inputs and the mesh."""
     mesh = make_mesh(num_devices, devices)
+    # gather plans are global-index derived data; they do not survive
+    # padding/resharding (the sharded path uses the XLA scatter transpose)
+    inputs = inputs._replace(plans=None)
     if inputs.is_laue:
         inputs = _laue_group_aligned_order(inputs, num_devices)
     else:
