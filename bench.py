@@ -1,18 +1,41 @@
 """Benchmark: ELBO training throughput of the variational merging model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Workload: a serial-crystallography-scale synthetic mono merge (100k
-observations, 10k unique reflections, reference-default 20x10 MLP scaler,
-1 MC sample) — the same shape of problem as BASELINE.json config 5.
+Workload: a serial-crystallography-scale synthetic mono merge (1M
+observations, 50k unique reflections, reference-default 20x10 MLP scaler +
+per-image scales, 1 MC sample) — the scale of BASELINE.json config 5
+("millions of reflections").
 
-vs_baseline compares against a faithful re-creation of the reference's
-execution model measured on the SAME device: one jitted train step per host
-call with per-step metric transfer (the reference's python loop,
-/root/reference/careless/models/merging/variational.py:255-270 — TFP itself
-is not installed here, so the reference cannot run directly). Our number is
-the scan-chunked trainer. Same model math, same optimizer, same device —
-the ratio isolates the framework's architectural win.
+Three timed configurations, all the same model math on the same device:
+
+  fused    — scan-chunked trainer with the fused Pallas likelihood kernel
+             (the production TPU path: --fused-kernel=auto on TPU)
+  unfused  — scan-chunked trainer, plain XLA elbo
+  ref_style— one jitted step per host call with per-step metric readback:
+             a faithful re-creation of the reference's execution model
+             (/root/reference/careless/models/merging/variational.py:255-270;
+             TF/TFP is not installed here, so the reference itself cannot
+             run — this isolates the dispatch model, not TF kernel quality)
+
+vs_baseline = fused steps/s / ref_style steps/s (dispatch-model ablation —
+labeled as such; the true TF baseline is unmeasurable in this environment,
+see BASELINE.md).
+
+Roofline: the dominant per-step HBM traffic at these shapes is the
+per-observation stream. A lower bound on bytes moved per step:
+
+  essential inputs (read once):  metadata N*d*4 + iobs/sig/mask 12N
+                                 + refl_id/image_id 8N
+  MLP activations:               L layers x N x width x 4 bytes, written
+                                 then re-read, forward AND backward
+                                 => 4*L*w*4*N  (w/o remat)
+  likelihood chain + transpose:  ~12 N-sized f32 intermediates (unfused)
+                                 or ~4 (fused: eps/ll/intermediates stay
+                                 in VMEM; only dloc/dscale/da/dF spill)
+
+speed-of-light step time = bytes / HBM peak bandwidth for the device kind;
+hbm_utilization_pct = sol_time / measured_time * 100.
 """
 import json
 import sys
@@ -20,9 +43,21 @@ import time
 
 import numpy as np
 
+# HBM peak bandwidth per chip, GB/s (public TPU specs; used only for the
+# utilization estimate — unknown kinds report null)
+HBM_GBPS = {
+    "TPU v4": 1228.0,
+    "TPU v5": 2765.0,      # v5p
+    "TPU v5p": 2765.0,
+    "TPU v5 lite": 819.0,  # v5e
+    "TPU v5e": 819.0,
+    "TPU v6e": 1640.0,     # Trillium
+    "TPU v6 lite": 1640.0,
+}
 
-def build_problem(n_obs=100_000, n_refl=10_000, n_images=200, d_meta=10,
-                  seed=0):
+
+def build_problem(n_obs, n_refl, n_images=2000, d_meta=10, seed=0,
+                  fused=False):
     import jax
 
     from careless_tpu.models.base import Inputs
@@ -53,14 +88,14 @@ def build_problem(n_obs=100_000, n_refl=10_000, n_images=200, d_meta=10,
     mlp = MLPScaler(20, 10)  # reference defaults (args/scaling.py:21-31)
     scaler = HybridImageScaler(mlp, ImageScaler(n_images))
     model = VariationalMergingModel(posterior, prior, NormalLikelihood(),
-                                    scaler, mc_samples=1)
+                                    scaler, mc_samples=1, fused_kernel=fused)
     params = model.init(jax.random.PRNGKey(seed), inputs,
                         (np.asarray(prior.mean()), np.asarray(prior.stddev())))
     trainer = Trainer(model)
     return model, params, trainer, inputs
 
 
-def bench_ours(trainer, params, inputs, steps=1500, chunk=250):
+def bench_scan(trainer, params, inputs, steps, chunk):
     """scan-chunked trainer (the careless-tpu architecture)."""
     import jax
 
@@ -89,7 +124,7 @@ def bench_ours(trainer, params, inputs, steps=1500, chunk=250):
     return steps / dt
 
 
-def bench_reference_style(trainer, params, inputs, steps=150):
+def bench_reference_style(trainer, params, inputs, steps):
     """Reference execution model: one step per host call, per-step metric
     readback (float() on every metric, like the tqdm postfix loop)."""
     import jax
@@ -113,20 +148,68 @@ def bench_reference_style(trainer, params, inputs, steps=150):
     return steps / dt
 
 
-def main():
-    quick = "--quick" in sys.argv
-    n_obs = 20_000 if quick else 100_000
-    steps = 500 if quick else 1500
-    ref_steps = 50 if quick else 150
+def roofline(n_obs, d_meta, mlp_layers, mlp_width, fused, device_kind):
+    """Lower-bound HBM bytes per step and speed-of-light step time (s)."""
+    essential = n_obs * (d_meta * 4 + 12 + 8)
+    mlp_act = 4 * mlp_layers * mlp_width * 4 * n_obs
+    chain = (4 if fused else 12) * 4 * n_obs
+    bytes_per_step = essential + mlp_act + chain
+    bw = None
+    for k, v in HBM_GBPS.items():
+        if device_kind.lower().startswith(k.lower()):
+            bw = v
+    if bw is None:
+        bw = HBM_GBPS.get(device_kind)
+    sol = bytes_per_step / (bw * 1e9) if bw else None
+    return bytes_per_step, sol
 
-    model, params, trainer, inputs = build_problem(n_obs=n_obs)
-    ours = bench_ours(trainer, params, inputs, steps=steps)
-    ref = bench_reference_style(trainer, params, inputs, steps=ref_steps)
+
+def main():
+    import jax
+
+    quick = "--quick" in sys.argv
+    n_obs = 50_000 if quick else 1_000_000
+    n_refl = 5_000 if quick else 50_000
+    steps = 200 if quick else 1000
+    chunk = 100 if quick else 250
+    ref_steps = 20 if quick else 100
+
+    on_tpu = jax.default_backend() == "tpu"
+    device_kind = jax.devices()[0].device_kind
+
+    _, params_u, trainer_u, inputs = build_problem(n_obs, n_refl)
+    unfused = bench_scan(trainer_u, params_u, inputs, steps, chunk)
+    ref = bench_reference_style(trainer_u, params_u, inputs, ref_steps)
+
+    if on_tpu:
+        _, params_f, trainer_f, inputs_f = build_problem(n_obs, n_refl,
+                                                         fused=True)
+        fused = bench_scan(trainer_f, params_f, inputs_f, steps, chunk)
+    else:
+        fused = None  # interpret mode would measure the interpreter
+
+    best = fused if fused is not None else unfused
+    _, sol_t = roofline(n_obs, 10, 20, 10, fused is not None, device_kind)
+    util = (round(100 * sol_t * best, 1)
+            if sol_t is not None and on_tpu else None)
+
     print(json.dumps({
-        "metric": "elbo_steps_per_s_100k_obs",
-        "value": round(ours, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(ours / ref, 2),
+        "metric": "observations_per_s_per_chip_1M_obs",
+        "value": round(best * n_obs, 0),
+        "unit": "obs/s",
+        # dispatch-model ablation vs the reference's per-step host loop on
+        # the SAME device — the TF/TFP reference itself is not installable
+        # here (see BASELINE.md)
+        "vs_baseline": round(best / ref, 2),
+        "elbo_steps_per_s_fused": None if fused is None else round(fused, 2),
+        "elbo_steps_per_s_unfused": round(unfused, 2),
+        "elbo_steps_per_s_ref_dispatch": round(ref, 2),
+        "fused_speedup_vs_unfused": (None if fused is None
+                                     else round(fused / unfused, 2)),
+        "hbm_utilization_pct_vs_roofline": util,
+        "device_kind": device_kind,
+        "n_obs": n_obs,
+        "n_refl": n_refl,
     }))
 
 

@@ -41,6 +41,17 @@ args_and_kwargs = (
         "type": int,
         "default": 0,
     }),
+    (("--fused-kernel",), {
+        "help": "Use the fused Pallas likelihood kernel for the ELBO inner "
+                "loop when the configuration supports it (Normal likelihood "
+                "with an MLP or hybrid-image scaler). 'auto' (default) "
+                "enables it on TPU backends only; 'on' forces it (off-TPU "
+                "runs use the slow interpreter, tests only); 'off' always "
+                "uses the plain XLA path.",
+        "type": str,
+        "default": "auto",
+        "choices": ["auto", "on", "off"],
+    }),
     (("--rng-impl",), {
         "help": "JAX PRNG implementation. 'threefry2x32' (default) is "
                 "deterministic across backends; 'rbg' uses the TPU hardware "

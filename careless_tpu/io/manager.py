@@ -58,6 +58,19 @@ class DataManager:
         with open(filename, "wb") as f:
             pickle.dump(self, f)
 
+    # ----------------------------------------------------------- table sizes
+    @property
+    def n_refl(self) -> int:
+        """Global posterior-table size (= ASU-collection length)."""
+        return len(np.asarray(self.asu_collection.centric))
+
+    @property
+    def n_images(self) -> int:
+        """Global image-table size. Parameter tables (ImageScaler) are built
+        from the FULL dataset, so gather plans for any subset must use this,
+        not the subset's own max image id."""
+        return int(np.max(np.asarray(self.inputs.image_id))) + 1
+
     # ---------------------------------------------------------- wilson prior
     @staticmethod
     def wilson_sigma(b: float, dHKL: np.ndarray) -> np.ndarray:
@@ -128,7 +141,7 @@ class DataManager:
             mlp = MLPScaler(parser.mlp_layers, mlp_width,
                             epsilon=parser.epsilon, scale_bijector=bijector,
                             scale_multiplier=istd)
-            n_images = int(np.max(np.asarray(self.inputs.image_id))) + 1
+            n_images = self.n_images
             if parser.image_layers > 0:
                 scaler = NeuralImageScaler(parser.image_layers, n_images, mlp)
             elif parser.use_image_scales:
@@ -136,11 +149,17 @@ class DataManager:
             else:
                 scaler = mlp
 
+        fused_flag = getattr(parser, "fused_kernel", "auto")
+        fused = (fused_flag == "on"
+                 or (fused_flag == "auto"
+                     and jax.default_backend() == "tpu"))
+
         model = VariationalMergingModel(
             posterior=posterior, prior=prior, likelihood=likelihood,
             scaler=scaler,
             mc_samples=mc_sample_size or parser.mc_samples,
-            kl_weight=parser.kl_weight)
+            kl_weight=parser.kl_weight,
+            fused_kernel=fused)
 
         key = jax.random.PRNGKey(getattr(parser, "seed", 1234) or 1234)
         params = model.init(key, self.inputs, (loc, scale))

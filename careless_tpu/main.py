@@ -56,8 +56,8 @@ def run_careless(parser):
         params["posterior"] = load_params(parser.structure_factor_file,
                                           params["posterior"])
 
-    n_refl = len(np.asarray(dm.asu_collection.centric))
-    train_dev, mesh = _shard_inputs(train, parser.num_devices, n_refl=n_refl)
+    train_dev, mesh = _shard_inputs(train, parser.num_devices,
+                                    n_refl=dm.n_refl, n_images=dm.n_images)
 
     key = jax.random.PRNGKey(parser.seed)
     progress = not parser.disable_progress_bar
@@ -123,9 +123,11 @@ def run_half_dataset_crossvalidation(dm, trained_params, parser, progress):
             params["scaler"] = trained_params["scaler"]
             trainer = type(trainer)(**{
                 **trainer.__dict__, "freeze": ("scaler",)})
-            n_refl = len(np.asarray(dm.asu_collection.centric))
+            # plans must be sized to the GLOBAL tables: the half lacks some
+            # image ids but the frozen scaler's table is full-sized
             half_dev, _ = _shard_inputs(half, parser.num_devices,
-                                        n_refl=n_refl)
+                                        n_refl=dm.n_refl,
+                                        n_images=dm.n_images)
             key = jax.random.PRNGKey(parser.seed + 7919 * (2 * repeat + half_id + 1))
             params, _ = trainer.train(
                 params, key, half_dev, parser.iterations,
@@ -159,17 +161,18 @@ def _concat_predictions(a, b):
     return out
 
 
-def _shard_inputs(inputs, num_devices: int, n_refl=None):
+def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None):
     """Shard per-observation arrays over a 1-D device mesh ('obs' axis);
     parameters stay replicated so refl_id gathers remain device-local and
     XLA psums the gradients over ICI (SURVEY.md §5.8).
 
     On the single-device path, attach static gather-transpose plans
     (ops/plan_gather.py) so the z_f / image-scale gradient scatters take
-    the fast sorted-segment form."""
+    the fast sorted-segment form. n_refl/n_images are the GLOBAL table
+    sizes (DataManager.n_refl/n_images), never subset-derived."""
     if not num_devices or num_devices <= 1:
-        if n_refl is not None and inputs.plans is None:
-            inputs = inputs.with_plans(n_refl)
+        if n_refl is not None and n_images is not None and inputs.plans is None:
+            inputs = inputs.with_plans(n_refl, n_images)
         return inputs, None
     from .parallel.shard import shard_inputs_over_mesh
     return shard_inputs_over_mesh(inputs, num_devices)

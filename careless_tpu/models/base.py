@@ -63,14 +63,17 @@ class Inputs(NamedTuple):
             return None if x is None else np.asarray(x)[mask_or_idx]
         return Inputs(*[take(x) for x in self[:-1]], None)
 
-    def with_plans(self, n_refl: int, n_images: Optional[int] = None
-                   ) -> "Inputs":
+    def with_plans(self, n_refl: int, n_images: int) -> "Inputs":
         """Attach static gather-transpose plans (host-side; see
         ops/plan_gather.py). Speeds up the backward pass of the ELBO's
-        table gathers on the unsharded path."""
+        table gathers on the unsharded path.
+
+        Both table sizes MUST be the GLOBAL sizes the model's parameter
+        tables were built with — never inferred from this (possibly
+        subset) Inputs. A plan sized from a subset's max image id emits a
+        smaller-than-table gradient in the gather transpose and crashes
+        value_and_grad (the round-1 --merge-half-datasets regression)."""
         from ..ops.plan_gather import make_gather_plan
-        if n_images is None:
-            n_images = int(np.asarray(self.image_id).max()) + 1
         return self._replace(plans=GatherPlans(
             refl=make_gather_plan(self.refl_id, n_refl),
             image=make_gather_plan(self.image_id, n_images)))

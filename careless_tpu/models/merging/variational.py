@@ -68,9 +68,12 @@ class VariationalMergingModel:
         from ..likelihoods.mono import NormalLikelihood as MonoNormal
         from ..scaling.image import HybridImageScaler
         from ..scaling.nn import MLPScaler
+        # plans exist only on the single-device path; pallas_call is not
+        # SPMD-partitionable, so sharded inputs always take the XLA path
         return (self.fused_kernel
                 and not inputs.is_laue
                 and self.mc_samples == 1
+                and inputs.plans is not None
                 and isinstance(self.likelihood, MonoNormal)
                 and isinstance(self.scaler, (MLPScaler, HybridImageScaler)))
 
@@ -169,6 +172,9 @@ class VariationalMergingModel:
             image_id = jnp.zeros_like(inputs.refl_id)
 
         seed = jax.random.randint(k_s, (), 0, jnp.iinfo(jnp.int32).max)
+        if noise is None and jax.default_backend() != "tpu":
+            # interpret mode has no in-kernel PRNG; feed XLA-generated eps
+            noise = jax.random.normal(k_s, (inputs.n_obs,), jnp.float32)
         plans = inputs.plans
         image_plan = (plans.image if plans is not None
                       and image_scales.shape[0] > 1 else None)

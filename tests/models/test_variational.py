@@ -159,6 +159,27 @@ def test_freeze_subtree(rng):
                            np.asarray(params2["posterior"]["loc_raw"]))
 
 
+def test_subset_plans_use_global_table_sizes(rng):
+    """Round-1 regression: an image-split half lacks the top image ids, but
+    the ImageScaler table is global-sized. Gather plans attached to the
+    subset must be built with the GLOBAL (n_refl, n_images) so the planned
+    gather's transpose emits a full-table gradient (main.py xval path)."""
+    inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=300, n_images=10)
+    model, params = make_model(inputs, n_refl, n_images,
+                               mono_lik.NormalLikelihood(),
+                               scaler_kind="hybrid")
+    # drop every observation from the two highest image ids, as an
+    # image-split half would
+    keep = np.asarray(inputs.image_id) < n_images - 2
+    half = inputs.select(keep).with_plans(n_refl, n_images)
+    (loss, _), grads = jax.value_and_grad(model.elbo, has_aux=True)(
+        params, jax.random.PRNGKey(3), half)
+    assert np.isfinite(loss)
+    for g, p in zip(jax.tree.leaves(grads), jax.tree.leaves(params)):
+        assert np.shape(g) == np.shape(p)
+        assert np.isfinite(g).all()
+
+
 def test_posterior_moments_and_predictions(rng):
     inputs, n_refl, n_images = synthetic_inputs(rng)
     model, params = make_model(inputs, n_refl, n_images,

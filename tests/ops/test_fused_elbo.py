@@ -105,6 +105,8 @@ def test_fused_elbo_prng_statistics(rng):
     inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=500)
     model, params = make_model(inputs, n_refl, n_images, NormalLikelihood())
     fused_model = model.__class__(**{**model.__dict__, "fused_kernel": True})
+    inputs = inputs.with_plans(n_refl, n_images)
+    assert fused_model._fused_eligible(inputs)
     losses_f = [float(fused_model.elbo(params, jax.random.PRNGKey(i),
                                        inputs)[0]) for i in range(6)]
     losses_x = [float(model.elbo(params, jax.random.PRNGKey(i),

@@ -120,6 +120,15 @@ def test_mono_gradient_clipping_flags(tmp_path, pyp_off_mtz):
     assert os.path.exists(out + "_0.mtz")
 
 
+def test_mono_fused_kernel(tmp_path, pyp_off_mtz):
+    """--fused-kernel=on exercises the Pallas ELBO path end to end (in
+    interpret mode on the CPU mesh; the TPU path is benched by bench.py)."""
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=4",
+               "--fused-kernel=on"], tmp_path)
+    ds = read_mtz(out + "_0.mtz")
+    assert np.isfinite(ds["F"].to_numpy(np.float64)).all()
+
+
 def test_poly_basic(tmp_path, pyp_off_mtz):
     out = run(["poly", "dHKL,image_id", pyp_off_mtz, "--iterations=10"],
               tmp_path)
