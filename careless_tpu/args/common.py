@@ -1,57 +1,57 @@
-"""Common flags (reference careless/args/common.py)."""
+"""Common flags (same surface as reference careless/args/common.py)."""
 name = None
 description = None
 
 args_and_kwargs = (
     (("--embed",), {
-        "help": "Drop to an IPython shell at the end of optimization to "
-                "inspect variables.",
+        "help": "Open an interactive IPython shell once optimization "
+                "finishes, with the run state in scope.",
         "action": "store_true",
         "default": False,
     }),
     (("--mc-samples",), {
-        "help": "This is the number of samples to take per gradient step "
-                "with default 1.",
+        "help": "Monte Carlo samples drawn per gradient step to estimate "
+                "the ELBO (default 1).",
         "type": int,
         "default": 1,
     }),
     (("--structure-factor-file",), {
-        "help": "Initialize the structure factors from the output of a "
-                "previous run (the *_structure_factor.npz file).",
+        "help": "Warm-start the structure factor posterior from a "
+                "*_structure_factor.npz file written by an earlier run.",
         "type": str,
         "default": None,
     }),
     (("--freeze-structure-factors",), {
-        "help": "Do not optimize the structure factors.",
+        "help": "Keep the structure factor posterior fixed at its initial "
+                "(or loaded) values during training.",
         "action": "store_true",
     }),
     (("--structure-factor-init-scale",), {
-        "help": "The width of the initial structure factor distribution is "
-                "this times the standard deviation of the prior "
-                "distribution. The default is 1.0.",
+        "help": "Initial posterior width as a multiple of the prior's "
+                "standard deviation (default 1.0).",
         "type": float,
         "default": 1.0,
     }),
     (("--epsilon",), {
-        "help": "A small constant added to the scale parameters of "
-                "variational distributions for numerical stability. "
-                "The default is 1e-7.",
+        "help": "Stability constant added to the scale of every variational "
+                "distribution (default 1e-7).",
         "type": float,
         "default": 1e-7,
     }),
     (("--disable-metadata-standardization",), {
-        "help": "By default careless-tpu will convert metadata to z-scores. "
-                "This flag disables that behavior.",
+        "help": "Feed metadata to the scaling model as-is instead of "
+                "converting each column to z-scores.",
         "action": "store_false",
         "dest": "standardize_metadata",
     }),
     (("--disable-progress-bar",), {
-        "help": "Disable the progress bar.",
+        "help": "Suppress the live training progress bar.",
         "action": "store_true",
         "default": False,
     }),
     (("--save-data-manager",), {
-        "help": "Optionally save the data manager object in pickle format.",
+        "help": "Also pickle the DataManager (inputs + ASU collection) next "
+                "to the other outputs.",
         "action": "store_true",
         "default": False,
     }),

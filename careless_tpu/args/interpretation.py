@@ -1,45 +1,48 @@
-"""Data interpretation flags (reference careless/args/interpretation.py)."""
+"""Data interpretation flags (same surface as reference
+careless/args/interpretation.py)."""
 name = "Data Interpretation"
 description = None
 
 args_and_kwargs = (
     (("--spacegroups",), {
-        "help": "The spacegroup(s) to use for merging: a single spacegroup "
-                "applied to every input file, or a comma-separated list with "
-                'one entry per file. For example --spacegroups="P 21 21 21" '
-                'or --spacegroups="P 21 21 21,P 1 21 1".',
+        "help": "Override the symmetry used for merging. Give one spacegroup "
+                "for all inputs or a comma-separated list matching the input "
+                'files one-to-one, e.g. --spacegroups="P 21 21 21" or '
+                '--spacegroups="P 21 21 21,P 1 21 1". Required for .stream '
+                "inputs, which carry no symmetry.",
         "type": str,
         "default": None,
     }),
     (("--image-key",), {
-        "help": "The name of the key indicating image number for each data "
-                "set. If no key is given, the first key with the BATCH dtype "
-                "is used.",
+        "help": "Column identifying which image/frame each observation came "
+                "from. When omitted, the first column with the MTZ BATCH "
+                "dtype is picked.",
         "type": str,
         "default": None,
     }),
     (("--intensity-key",), {
-        "help": "What key to use for reflection intensities. If no key is "
-                "given, the first key with the intensity dtype is used.",
+        "help": "Column holding the observed intensities. When omitted, the "
+                "first column with the MTZ intensity dtype is picked.",
         "type": str,
         "default": None,
     }),
     (("--uncertainty-key",), {
-        "help": "What key to use for reflection error estimates. If no key "
-                "is given, a 'Sig'/'SIG'-prefixed match of the intensity key "
-                "is tried, then the first key with the StdDev dtype.",
+        "help": "Column holding the intensity error estimates. When omitted, "
+                "a 'Sig'/'SIG'-prefixed sibling of the intensity column is "
+                "tried first, then the first column with the StdDev dtype.",
         "type": str,
         "default": None,
     }),
     (("--anomalous",), {
-        "help": "If this flag is supplied, Friedel mates will be kept separate.",
+        "help": "Merge Friedel pairs separately (F+ and F- get their own "
+                "posteriors and output columns).",
         "action": "store_true",
         "default": False,
     }),
     (("--separate-files",), {
-        "help": "Produce a separate output for each input mtz. In this mode, "
-                "the data are scaled together and merged separately. The "
-                "default is to merge all files into a single output.",
+        "help": "Write one merged output per input file: all inputs share a "
+                "single scaling model but keep their own structure factor "
+                "sets. Without this flag, every input merges into one output.",
         "action": "store_true",
         "default": False,
     }),

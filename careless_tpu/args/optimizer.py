@@ -1,42 +1,42 @@
-"""Optimizer flags (reference careless/args/optimizer.py)."""
+"""Optimizer flags (same surface as reference careless/args/optimizer.py)."""
 name = "Optimizer Parameters"
 description = None
 
 args_and_kwargs = (
     (("--iterations",), {
-        "help": "Number of gradient steps to take.",
+        "help": "Total number of full-batch Adam steps (default 10000).",
         "type": int,
         "default": 10000,
     }),
     (("--learning-rate",), {
-        "help": "Adam learning rate. The default is 0.001",
+        "help": "Adam step size (default 0.001).",
         "type": float,
         "default": 0.001,
     }),
     (("--beta-1",), {
-        "help": "Adam beta_1 param. The default is 0.9",
+        "help": "Adam first-moment decay rate (default 0.9).",
         "type": float,
         "default": 0.9,
     }),
     (("--beta-2",), {
-        "help": "Adam beta_2 param. The default is 0.99",
+        "help": "Adam second-moment decay rate (default 0.99).",
         "type": float,
         "default": 0.99,
     }),
     (("--clipnorm",), {
-        "help": "Optionally clip the norm of the gradient of each weight to "
-                "be no larger than this value.",
+        "help": "Rescale each parameter tensor's gradient so its norm never "
+                "exceeds this bound.",
         "type": float,
         "default": None,
     }),
     (("--clipvalue",), {
-        "help": "Optionally clip the gradients to be no larger than this value.",
+        "help": "Clamp every gradient element into [-value, value].",
         "type": float,
         "default": None,
     }),
     (("--global-clipnorm",), {
-        "help": "Optionally clip the norm of all the gradients to be no "
-                "larger than this value.",
+        "help": "Rescale the concatenated gradient so the global norm never "
+                "exceeds this bound.",
         "type": float,
         "default": None,
     }),

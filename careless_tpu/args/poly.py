@@ -1,20 +1,21 @@
-"""Laue-specific flags (reference careless/args/poly.py)."""
+"""Laue-specific flags (same surface as reference careless/args/poly.py)."""
 name = "Laue"
 description = None
 
 args_and_kwargs = (
     (("-l", "--wavelength-range"), {
-        "help": "Minimum and maximum wavelength for harmonic deconvolution in "
-                "Ångstroms. If this is not supplied, harmonics will be "
-                "predicted out to the minimum and maximum wavelengths "
-                "recorded in the mtz.",
+        "help": "Bandpass limits (Ångstroms) used when expanding each "
+                "observation into its harmonic candidates. When omitted, "
+                "the limits are taken from the wavelengths present in the "
+                "input file.",
         "type": float,
         "default": None,
         "nargs": 2,
         "metavar": ("lambda_min", "lambda_max"),
     }),
     (("-w", "--wavelength-key"), {
-        "help": "Mtz column name corresponding to the reflections' peak wavelength.",
+        "help": "Which MTZ column holds each reflection's assigned peak "
+                "wavelength. The default is 'Wavelength'.",
         "type": str,
         "default": "Wavelength",
     }),

@@ -1,46 +1,49 @@
-"""Scaling model flags (reference careless/args/scaling.py)."""
+"""Scaling model flags (same surface as reference careless/args/scaling.py)."""
 name = "Scaling Model"
 description = """
-Options related to the neural network scaling model used for merging.
+Controls for the neural scaling model that maps per-observation metadata to
+scale-factor distributions.
 """
 
 args_and_kwargs = (
     (("--scale-file",), {
-        "help": "Initialize the scale model weights from the output of a "
-                "previous run (the *_scale.npz file).",
+        "help": "Warm-start the scaling model from a *_scale.npz file "
+                "written by an earlier run.",
         "type": str,
         "default": None,
     }),
     (("--freeze-scales",), {
-        "help": "Do not optimize the scale model weights.",
+        "help": "Keep the scaling model fixed at its initial (or loaded) "
+                "weights; only the structure factors are trained.",
         "action": "store_true",
     }),
     (("--mlp-layers",), {
-        "help": "The number of dense neural network layers in the scaling "
-                "model. The default is 20 layers.",
+        "help": "Depth of the scaling MLP in dense layers (default 20).",
         "type": int,
         "default": 20,
     }),
     (("--mlp-width",), {
-        "help": "The width of the hidden layers of the neural net. The "
-                "default is the dimensionality of the metadata.",
+        "help": "Hidden width of the scaling MLP. When omitted, the width "
+                "matches the number of metadata columns.",
         "type": int,
         "default": None,
     }),
     (("--image-layers",), {
-        "help": "Add additional layers with local image-specific parameters.",
+        "help": "Insert this many image-conditioned layers (each image gets "
+                "its own weights) ahead of the shared MLP. 0 disables them.",
         "type": int,
         "default": 0,
     }),
     (("--disable-image-scales",), {
-        "help": "Do not learn a local scale param for each image.",
+        "help": "Turn off the per-image scalar multiplier that is otherwise "
+                "learned alongside the MLP.",
         "action": "store_false",
         "dest": "use_image_scales",
         "default": True,
     }),
     (("--scale-bijector",), {
-        "help": "What function to use to ensure positivity of the standard "
-                "deviation of scales.",
+        "help": "Positivity transform applied to the standard deviation "
+                "output of the scaling model: 'exp' or 'softplus'.",
         "type": str,
         "default": "exp",
         "choices": ["exp", "softplus"],

@@ -159,7 +159,8 @@ class DataManager:
             scaler=scaler,
             mc_samples=mc_sample_size or parser.mc_samples,
             kl_weight=parser.kl_weight,
-            fused_kernel=fused)
+            fused_kernel=fused,
+            analytic_kl=getattr(parser, "analytic_kl", False))
 
         key = jax.random.PRNGKey(getattr(parser, "seed", 1234) or 1234)
         params = model.init(key, self.inputs, (loc, scale))

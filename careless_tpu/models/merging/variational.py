@@ -63,6 +63,10 @@ class VariationalMergingModel:
     # use the fused Pallas likelihood kernel when the configuration allows
     # (mono + Normal likelihood + MLP/Hybrid scaler + 1 MC sample)
     fused_kernel: bool = False
+    # Rao-Blackwellized KL: take E_q[log q] (TN entropy) and the analytic
+    # parts of E_q[log p] in closed form, MC only for the acentric E[log z]
+    # term — lower-variance than the reference's full-MC KL
+    analytic_kl: bool = False
 
     def _fused_eligible(self, inputs: Inputs) -> bool:
         from ..likelihoods.mono import NormalLikelihood as MonoNormal
@@ -131,18 +135,18 @@ class VariationalMergingModel:
             ll = ll * inputs.mask
 
         prior = self._built_prior(params)
-        kl_term = q.log_prob(z_f) - prior.log_prob(z_f)       # (S, n_refl)
+        kl_sum, kl_mean = self._kl_terms(q, prior, z_f)
 
         if self.kl_weight is None:
             nll = -jnp.sum(ll) / self.mc_samples
-            kl = jnp.sum(kl_term) / self.mc_samples
+            kl = kl_sum
             loss = nll + kl
         else:
             if inputs.mask is not None:
                 nll = -jnp.sum(ll) / (self.mc_samples * jnp.sum(inputs.mask))
             else:
                 nll = -jnp.mean(ll)
-            kl = jnp.mean(kl_term)
+            kl = kl_mean
             loss = nll + self.kl_weight * kl
 
         metrics = {"loss": loss, "NLL": nll, "F KLDiv": kl}
@@ -186,23 +190,40 @@ class VariationalMergingModel:
             image_plan=image_plan)
 
         prior = self._built_prior(params)
-        kl_term = q.log_prob(z_f) - prior.log_prob(z_f)
+        kl_sum, kl_mean = self._kl_terms(q, prior, z_f)
 
         if self.kl_weight is None:
             nll = -ll_sum
-            kl = jnp.sum(kl_term)
+            kl = kl_sum
             loss = nll + kl
         else:
             n_eff = (jnp.sum(inputs.mask) if inputs.mask is not None
                      else inputs.n_obs)
             nll = -ll_sum / n_eff
-            kl = jnp.mean(kl_term)
+            kl = kl_mean
             loss = nll + self.kl_weight * kl
 
         metrics = {"loss": loss, "NLL": nll, "F KLDiv": kl}
         if hasattr(prior, "metrics"):
             metrics.update(prior.metrics())
         return loss, metrics
+
+    def _kl_terms(self, q, prior, z_f) -> Tuple[Array, Array]:
+        """(sum, mean) of the per-reflection KL(q||prior) estimate.
+
+        MC path (reference variational.py:123-128): kl = q.log_prob(z) -
+        prior.log_prob(z), averaged over the leading MC axis. Analytic path
+        (--analytic-kl, Wilson priors only): -entropy(q) exactly plus the
+        partially-closed-form cross entropy (priors/wilson.py
+        expected_log_prob) — same expectation, lower variance.
+        """
+        if (self.analytic_kl and hasattr(prior, "expected_log_prob")
+                and hasattr(q, "entropy")):
+            kl_per = -q.entropy() - prior.expected_log_prob(q, z_f)
+            return jnp.sum(kl_per), jnp.mean(kl_per)
+        kl_term = q.log_prob(z_f) - prior.log_prob(z_f)
+        n_mc = kl_term.shape[0] if kl_term.ndim > 1 else 1
+        return jnp.sum(kl_term) / n_mc, jnp.mean(kl_term)
 
     def predict_ipred(self, params: dict, key, inputs: Inputs) -> Array:
         """The reference call() return value: per-observation Ipred samples."""

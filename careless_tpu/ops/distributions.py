@@ -245,6 +245,22 @@ class TruncatedNormal(NamedTuple):
     def stddev(self):
         return jnp.sqrt(self.variance())
 
+    def entropy(self):
+        """Differential entropy, closed form:
+        H = log(sqrt(2*pi*e) * sigma * Z) + (alpha*phi(alpha) - beta*phi(beta)) / (2Z).
+        inf-safe for high=inf. Enables the Rao-Blackwellized KL fast path
+        (E_q[log q] exactly, instead of by MC) the reference never shipped."""
+        _, scale, *_ = _bcast(self.loc, self.scale, self.low, self.high)
+        alpha, beta, phi_a, phi_b, z = self._phi_terms()
+        bterm = jnp.where(jnp.isinf(beta), 0.0,
+                          jnp.where(phi_b > 0, beta, 0.0) * phi_b)
+        return (0.5 * (_LOG_2PI + 1.0) + jnp.log(scale) + self._log_z()
+                + (alpha * phi_a - bterm) / (2.0 * z))
+
+    def moment_2(self):
+        """Second raw moment E[X^2]."""
+        return self.variance() + jnp.square(self.mean())
+
     def moment_4(self):
         """Fourth raw moment E[X^4]; analytic (Orjebin's recurrence, the same
         formula as the reference's _tf_moment_4, surrogate_posteriors.py:55-73),

@@ -47,12 +47,17 @@ _TWO_PI = float(2.0 * np.pi)
 
 
 def _normal_from_bits(shape):
-    """Box-Muller standard normals from the in-kernel PRNG."""
+    """Box-Muller standard normals from the in-kernel PRNG.
+
+    prng_random_bits yields SIGNED int32; a plain `>> 8` sign-extends and
+    folds half the mass onto the log() clamp (eps |7.4| spikes — the
+    round-1 bug caught by the TPU statistics test). Mask to the low 23
+    bits instead: always non-negative under signed arithmetic.
+    """
     b1 = pltpu.prng_random_bits(shape)
     b2 = pltpu.prng_random_bits(shape)
-    # 24 high bits -> uniform in [0, 1)
-    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u1 = (b1 & 0x7FFFFF).astype(jnp.float32) * (1.0 / (1 << 23))
+    u2 = (b2 & 0x7FFFFF).astype(jnp.float32) * (1.0 / (1 << 23))
     u1 = jnp.maximum(u1, 1e-12)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)

@@ -46,17 +46,20 @@ def global_mesh(axis_name: str = "obs") -> Mesh:
     return Mesh(np.array(jax.devices()), (axis_name,))
 
 
-def host_observation_slice(n_obs: int) -> slice:
+def host_observation_slice(n_obs: int,
+                           process_id: Optional[int] = None,
+                           process_count: Optional[int] = None) -> slice:
     """The contiguous observation range this host should load.
 
     Observations are split evenly over processes; each host materializes only
     its slice, and `jax.make_array_from_process_local_data` assembles the
-    globally-sharded array.
+    globally-sharded array. process_id/process_count default to this
+    process's jax.distributed identity.
     """
-    p = jax.process_index()
-    n = jax.process_count()
+    p = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if process_count is None else process_count
     per = -(-n_obs // n)
-    return slice(p * per, min((p + 1) * per, n_obs))
+    return slice(min(p * per, n_obs), min((p + 1) * per, n_obs))
 
 
 def shard_host_local(mesh: Mesh, host_local: np.ndarray, n_global: int):

@@ -94,26 +94,27 @@ devices_sub = subs.add_parser("devices", help="Print available devices",
 
 from .args import device_options, groups, poly, required  # noqa: E402
 
-for args, kwargs in required.args_and_kwargs:
-    mono_sub.add_argument(*args, **kwargs)
-    poly_sub.add_argument(*args, **kwargs)
 
-for args, kwargs in poly.args_and_kwargs:
-    poly_sub.add_argument(*args, **kwargs)
-
-for group in groups:
-    if group.name is not None and group.description is not None:
-        mono_group = mono_sub.add_argument_group(group.name, group.description)
-        poly_group = poly_sub.add_argument_group(group.name, group.description)
-    elif group.name is not None:
-        mono_group = mono_sub.add_argument_group(group.name)
-        poly_group = poly_sub.add_argument_group(group.name)
+def _attach(sub, group):
+    """Add one declarative flag group to a subparser, as its own --help
+    section when the group is named."""
+    if group.name is None:
+        target = sub
+    elif group.description is None:
+        target = sub.add_argument_group(group.name)
     else:
-        mono_group = mono_sub
-        poly_group = poly_sub
-    for args, kwargs in group.args_and_kwargs:
-        mono_group.add_argument(*args, **kwargs)
-        poly_group.add_argument(*args, **kwargs)
+        target = sub.add_argument_group(group.name, group.description)
+    for flags, kwargs in group.args_and_kwargs:
+        target.add_argument(*flags, **kwargs)
 
-for args, kwargs in device_options.args_and_kwargs:
-    devices_sub.add_argument(*args, **kwargs)
+
+for sub in (mono_sub, poly_sub):
+    for flags, kwargs in required.args_and_kwargs:
+        sub.add_argument(*flags, **kwargs)
+    if sub is poly_sub:
+        for flags, kwargs in poly.args_and_kwargs:
+            sub.add_argument(*flags, **kwargs)
+    for group in groups:
+        _attach(sub, group)
+
+_attach(devices_sub, device_options)

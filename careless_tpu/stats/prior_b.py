@@ -19,7 +19,8 @@ class ArgumentParser(argparse.ArgumentParser):
         super().__init__(formatter_class=argparse.RawTextHelpFormatter,
                          description=__doc__)
         self.add_argument("input", nargs="+",
-                          help="MTZs or stream files containing unmerged data")
+                          help="Unmerged reflection file(s), MTZ or CrystFEL "
+                               ".stream")
         self.add_argument("-i", "--intensity-key", type=str, default=None)
         self.add_argument("-s", "--sigma-key", type=str, default=None)
         self.add_argument("-b", "--bins", type=int, default=20,

@@ -14,10 +14,10 @@ class ArgumentParser(argparse.ArgumentParser):
     def __init__(self):
         super().__init__(formatter_class=argparse.RawTextHelpFormatter,
                          description=__doc__)
-        self.add_argument("mtz_in", help="MTZ file containing merged data")
-        self.add_argument("mtz_out", help="Output mtz file name.")
+        self.add_argument("mtz_in", help="Merged MTZ to rescale")
+        self.add_argument("mtz_out", help="Where to write the rescaled MTZ")
         self.add_argument("-b", "--wilson-b", type=float, required=True,
-                          help="Target wilson b-factor.")
+                          help="Wilson B-factor (Å²) to impose on the output")
 
 
 def run_analysis(parser):

@@ -9,8 +9,8 @@ Note on correctness surface: for merging work only *intensity-domain*
 properties matter (Laue group, centric flags, epsilon factors, systematic
 absences). These are invariant to origin choice, so the Hall origin-shift
 entries only affect phases we never compute. The table is additionally
-validated by tests/xtal/test_sg_tables.py which cross-checks every entry's
-group order against an independent decoding of the H-M point group.
+validated by tests/xtal/test_symmetry.py (test_all_230_group_orders),
+which expands every entry's Hall symbol and cross-checks the group order.
 """
 from __future__ import annotations
 

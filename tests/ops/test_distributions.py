@@ -81,6 +81,25 @@ def test_truncated_normal_vs_scipy(loc, scale, low, high):
     assert_close(d.moment_4(), mom4, rtol=2e-3)
 
 
+@pytest.mark.parametrize("loc,scale,low,high", [
+    (2.0, 1.0, 0.0, np.inf),
+    (0.5, 2.0, 0.0, np.inf),
+    (-1.0, 1.0, 0.0, np.inf),
+    (1.0, 0.5, 0.0, 4.0),
+    (10.0, 3.0, 1.0, 20.0),
+])
+def test_truncated_normal_entropy_vs_scipy(loc, scale, low, high):
+    a, b = (low - loc) / scale, (high - loc) / scale
+    d = TruncatedNormal(loc, scale, low, high)
+    # scipy's own entropy is NaN at b=inf (inf*0 in its D term); a bound 30
+    # sigma out is the same distribution to double precision
+    b_oracle = min(b, 30.0)
+    assert_close(d.entropy(), sps.truncnorm.entropy(a, b_oracle, loc, scale),
+                 rtol=1e-3, atol=1e-4)
+    m2 = sps.truncnorm.moment(2, a, b, loc, scale)
+    assert_close(d.moment_2(), m2, rtol=1e-3)
+
+
 def test_truncated_normal_sampling_moments():
     d = TruncatedNormal(jnp.full(1000, 1.0), jnp.full(1000, 0.8), 0.0, 1e10)
     s = d.sample(jax.random.PRNGKey(3), (100,))
