@@ -79,7 +79,9 @@ def build_problem(n_obs, n_refl, n_images=2000, d_meta=10, seed=0,
     iobs = iobs + 0.1 * np.sqrt(np.abs(iobs)) * rng.normal(size=n_obs)
     sig = np.full(n_obs, 0.1, np.float32)
     inputs = Inputs.from_arrays(refl_id, image_id, np.zeros(n_obs), metadata,
-                                iobs, sig).with_plans(n_refl, n_images)
+                                iobs, sig)
+    # production training path: rows sorted by refl_id + gather plans
+    inputs = inputs.sorted_by_refl().with_plans(n_refl, n_images)
 
     centric = rng.random(n_refl) < 0.2
     prior = WilsonPrior(centric, np.ones(n_refl, np.float32))
@@ -95,10 +97,18 @@ def build_problem(n_obs, n_refl, n_images=2000, d_meta=10, seed=0,
     return model, params, trainer, inputs
 
 
+def _device_inputs(inputs):
+    import jax
+    return jax.tree.map(
+        lambda x: x if x is None or isinstance(x, jax.Array)
+        else jax.device_put(x), inputs, is_leaf=lambda x: x is None)
+
+
 def bench_scan(trainer, params, inputs, steps, chunk):
     """scan-chunked trainer (the careless-tpu architecture)."""
     import jax
 
+    inputs = _device_inputs(inputs)
     opt = trainer.optimizer()
     opt_state = opt.init(params)
     step = trainer.make_step()
@@ -129,6 +139,7 @@ def bench_reference_style(trainer, params, inputs, steps):
     readback (float() on every metric, like the tqdm postfix loop)."""
     import jax
 
+    inputs = _device_inputs(inputs)
     opt = trainer.optimizer()
     opt_state = opt.init(params)
     step = trainer.make_step()

@@ -172,6 +172,10 @@ def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None):
     sizes (DataManager.n_refl/n_images), never subset-derived."""
     if not num_devices or num_devices <= 1:
         if n_refl is not None and n_images is not None and inputs.plans is None:
+            if not inputs.is_laue:
+                # sorted rows give the z_f gather tight kernel windows and
+                # an identity backward permute; the ELBO sum is order-free
+                inputs = inputs.sorted_by_refl()
             inputs = inputs.with_plans(n_refl, n_images)
         return inputs, None
     from .parallel.shard import shard_inputs_over_mesh

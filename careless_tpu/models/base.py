@@ -27,7 +27,7 @@ class GatherPlans(NamedTuple):
     image: Optional["GatherPlanLike"] = None  # for image_scales[image_id]
 
 
-GatherPlanLike = tuple  # ops.plan_gather.GatherPlan (kept untyped to avoid a cycle)
+GatherPlanLike = object  # ops.plan_gather.GatherPlan (untyped to avoid a cycle)
 
 
 class Inputs(NamedTuple):
@@ -62,6 +62,17 @@ class Inputs(NamedTuple):
         def take(x):
             return None if x is None else np.asarray(x)[mask_or_idx]
         return Inputs(*[take(x) for x in self[:-1]], None)
+
+    def sorted_by_refl(self) -> "Inputs":
+        """Stable-sort rows by refl_id (host-side numpy). Training-path
+        optimization: sorted ids give the planned z_f gather tight kernel
+        windows and an identity backward permute (ops/plan_gather.py). The
+        ELBO is a sum over observations, so row order does not change the
+        result. Mono only — Laue intensities are packed by row position."""
+        if self.is_laue:
+            raise ValueError("cannot reorder Laue inputs (group packing)")
+        order = np.argsort(np.asarray(self.refl_id), kind="stable")
+        return self.select(order)
 
     def with_plans(self, n_refl: int, n_images: int) -> "Inputs":
         """Attach static gather-transpose plans (host-side; see

@@ -76,7 +76,6 @@ class VariationalMergingModel:
         # SPMD-partitionable, so sharded inputs always take the XLA path
         return (self.fused_kernel
                 and not inputs.is_laue
-                and self.mc_samples == 1
                 and inputs.plans is not None
                 and isinstance(self.likelihood, MonoNormal)
                 and isinstance(self.scaler, (MLPScaler, HybridImageScaler)))
@@ -158,13 +157,14 @@ class VariationalMergingModel:
                     noise=None) -> Tuple[Array, Dict]:
         """Fused-kernel ELBO: the (N,)-sized likelihood chain runs in one
         Pallas kernel (ops/fused_elbo.py); sampling of z_F and the KL stay
-        in XLA (n_refl-sized)."""
+        in XLA (n_refl-sized). mc_samples > 1 runs the kernel once per
+        sample (unrolled: S is static and small) and averages."""
         from ...ops.fused_elbo import fused_likelihood_sum
         from ..scaling.image import HybridImageScaler
 
         k_f, k_s = jax.random.split(key)
         q = self.posterior.distribution(params["posterior"])
-        z_f = q.sample(k_f, ())                            # (n_refl,)
+        z_f = q.sample(k_f, (self.mc_samples,))            # (S, n_refl)
 
         if isinstance(self.scaler, HybridImageScaler):
             mlp_dist = self.scaler.mlp.apply(params["scaler"]["mlp"], inputs)
@@ -175,19 +175,27 @@ class VariationalMergingModel:
             image_scales = jnp.ones(1, jnp.float32)
             image_id = jnp.zeros_like(inputs.refl_id)
 
-        seed = jax.random.randint(k_s, (), 0, jnp.iinfo(jnp.int32).max)
-        if noise is None and jax.default_backend() != "tpu":
-            # interpret mode has no in-kernel PRNG; feed XLA-generated eps
-            noise = jax.random.normal(k_s, (inputs.n_obs,), jnp.float32)
         plans = inputs.plans
         image_plan = (plans.image if plans is not None
                       and image_scales.shape[0] > 1 else None)
-        ll_sum = fused_likelihood_sum(
-            mlp_dist.loc, mlp_dist.scale, image_scales, z_f,
-            inputs.refl_id, image_id, inputs.intensities,
-            inputs.uncertainties, inputs.mask, seed=seed, noise=noise,
-            refl_plan=plans.refl if plans is not None else None,
-            image_plan=image_plan)
+        on_tpu = jax.default_backend() == "tpu"
+        ll_sum = 0.0
+        for s in range(self.mc_samples):
+            k_sample = jax.random.fold_in(k_s, s)
+            seed = jax.random.randint(k_sample, (), 0,
+                                      jnp.iinfo(jnp.int32).max)
+            eps = noise
+            if eps is None and not on_tpu:
+                # interpret mode has no in-kernel PRNG; feed XLA eps
+                eps = jax.random.normal(k_sample, (inputs.n_obs,),
+                                        jnp.float32)
+            ll_sum = ll_sum + fused_likelihood_sum(
+                mlp_dist.loc, mlp_dist.scale, image_scales, z_f[s],
+                inputs.refl_id, image_id, inputs.intensities,
+                inputs.uncertainties, inputs.mask, seed=seed, noise=eps,
+                refl_plan=plans.refl if plans is not None else None,
+                image_plan=image_plan)
+        ll_sum = ll_sum / self.mc_samples
 
         prior = self._built_prior(params)
         kl_sum, kl_mean = self._kl_terms(q, prior, z_f)
@@ -364,6 +372,18 @@ class Trainer:
         # survives (and so opt_state starts device-resident)
         params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         opt_state = opt.init(params)
+        # host-resident inputs would be re-transferred on EVERY chunk call
+        # (jit transfers uncommitted arrays per dispatch); move them to the
+        # device once. Arrays that are already jax.Arrays (e.g. mesh-sharded
+        # inputs) are left exactly where they are.
+        def _to_device(x):
+            return x if x is None or isinstance(x, jax.Array) \
+                else jax.device_put(x)
+        inputs = jax.tree.map(_to_device, inputs,
+                              is_leaf=lambda x: x is None)
+        if validation_data is not None:
+            validation_data = jax.tree.map(_to_device, validation_data,
+                                           is_leaf=lambda x: x is None)
         step = self.make_step()
 
         if validation_data is not None:

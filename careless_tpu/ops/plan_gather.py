@@ -1,27 +1,40 @@
-"""Planned gather: table lookup with a fast, precomputed-transpose backward.
+"""Planned gather: table lookups with fast forward AND backward paths.
 
 The ELBO gathers the posterior sample `z_f` by `refl_id` and the image scale
 by `image_id` (reference: /root/reference/careless/models/merging/
-variational.py:165-167). The reverse-mode transpose of those gathers is a
-duplicate-index scatter-add of one contribution per OBSERVATION into the
-table — XLA lowers that scatter to a serialized sort-based loop on TPU
-(~1.4 ms for 100k obs -> 10k refl on v5e, measured), which dominates the
-whole train step.
+variational.py:165-167). On TPU, XLA lowers BOTH directions badly:
 
-Because the index arrays are static for a given dataset, the scatter has a
-closed form: presort the contributions by table id with a precomputed
-permutation, then every table entry's gradient is a contiguous-segment sum,
-computed as a difference of two cumulative-sum values at static boundaries.
-On TPU this is one gather + one log-depth cumsum + two table-sized gathers
-(~0.26 ms for the same shape — 5.5x faster than XLA's scatter).
+- a generic N-element dynamic gather executes element-at-a-time
+  (~6.7 ms for 1M observations on v5e — measured, vs ~0.01 ms of traffic);
+- the reverse-mode transpose is a duplicate-index scatter-add, which XLA
+  serializes the same way.
+
+Because the index arrays are static for a given dataset, both directions
+have fast closed forms, precomputed host-side into a GatherPlan:
+
+forward (Pallas kernel, ops/table_gather.py): observations are tiled
+  (rows, 128); each tile's ids fall in a precomputed window of table rows
+  [base, base+window). The kernel slices the window out of the VMEM-resident
+  table and resolves ids with one same-shape `take_along_axis` (Mosaic
+  tpu.dynamic_gather) per 128-wide chunk — `window` chunks per tile instead
+  of 8192 serialized element loads. Windows are tight when the ids are
+  SORTED (the training path sorts observations by refl_id) and fall back to
+  the whole table when it is small (the image table).
+
+backward: presort the cotangent by table id with the plan's permutation,
+  then every table entry's gradient is a contiguous-segment sum, computed
+  as a difference of two cumulative-sum values at static boundaries. When
+  the ids are already sorted the permute is skipped entirely.
 
 Usage:
     plan = make_gather_plan(ids, table_size)     # host-side, once per dataset
-    out  = plan_gather(table, ids, plan)         # inside jit; d(table) is fast
+    out  = plan_gather(table, ids, plan)         # inside jit
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,33 +42,145 @@ import numpy as np
 
 Array = jax.Array
 
+LANES = 128
+BLOCK_OBS = 8192            # observations per kernel grid step (64 x 128)
+MAX_WINDOW_CHUNKS = 32      # give up on the kernel beyond a 4096-entry window
+MAX_TABLE_ROWS = 16384      # table must fit comfortably in VMEM (8 MB)
+MAX_HIST_TABLE = 4096       # one-hot histogram backward for tables this small
 
-class GatherPlan(NamedTuple):
-    """Static transpose plan for gathering `table[ids]` (all int32)."""
 
-    perm: Array    # (N,)  argsort of ids: ids[perm] is sorted
-    starts: Array  # (T,)  first position of id t in the sorted order
-    ends: Array    # (T,)  one past the last position of id t
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("perm", "starts", "ends", "ids2d", "bases"),
+         meta_fields=("window", "hist"))
+@dataclass(frozen=True)
+class GatherPlan:
+    """Static transpose/window plan for gathering `table[ids]`.
+
+    perm:   argsort of ids (None when ids are already sorted — the permute
+            in the backward pass is skipped)
+    starts: (T,) first position of id t in sorted order
+    ends:   (T,) one past the last position of id t
+    ids2d:  (R, 128) ids padded/tiled for the forward kernel (None = no kernel)
+    bases:  (R // rows_per_tile,) int32 window base row per tile
+    window: static window size in 128-entry chunks (0 = XLA forward)
+    hist:   backward uses the one-hot-matmul histogram (small unsorted
+            tables: MXU beats the permuted segment-sum ~3.5x, measured)
+    """
+
+    perm: Optional[Array]
+    starts: Array
+    ends: Array
+    ids2d: Optional[Array] = None
+    bases: Optional[Array] = None
+    window: int = 0
+    hist: bool = False
 
 
 def make_gather_plan(ids, table_size: int) -> GatherPlan:
     """Host-side plan construction (numpy; ids must be in [0, table_size))."""
     ids = np.asarray(ids).reshape(-1)
-    perm = np.argsort(ids, kind="stable").astype(np.int32)
-    sorted_ids = ids[perm]
+    n = len(ids)
+    is_sorted = bool(np.all(ids[1:] >= ids[:-1])) if n > 1 else True
+    if is_sorted:
+        perm = None
+        sorted_ids = ids
+    else:
+        perm = np.argsort(ids, kind="stable").astype(np.int32)
+        sorted_ids = ids[perm]
     rng = np.arange(table_size)
     starts = np.searchsorted(sorted_ids, rng, side="left").astype(np.int32)
     ends = np.searchsorted(sorted_ids, rng, side="right").astype(np.int32)
-    return GatherPlan(perm=perm, starts=starts, ends=ends)
+
+    ids2d, bases, window = _plan_windows(ids, table_size, is_sorted)
+    hist = (not is_sorted and ids2d is not None
+            and table_size <= MAX_HIST_TABLE)
+    return GatherPlan(
+        perm=None if perm is None else perm,
+        starts=starts, ends=ends,
+        ids2d=ids2d, bases=bases, window=window, hist=hist)
+
+
+def _plan_windows(ids, table_size: int, is_sorted: bool):
+    """Per-tile window bases for the forward kernel (None triple when the
+    kernel is not applicable)."""
+    n = len(ids)
+    table_rows = -(-table_size // LANES)
+    if n == 0 or table_rows > MAX_TABLE_ROWS:
+        return None, None, 0
+    rows = -(-n // LANES)
+    rows_pad = -(-rows // (BLOCK_OBS // LANES)) * (BLOCK_OBS // LANES)
+    pad_value = ids[-1] if is_sorted else 0
+    flat = np.full(rows_pad * LANES, pad_value, np.int32)
+    flat[:n] = ids
+    ids2d = flat.reshape(rows_pad, LANES)
+
+    n_tiles = rows_pad * LANES // BLOCK_OBS
+    tiles = flat.reshape(n_tiles, BLOCK_OBS)
+    lo = tiles.min(axis=1) // LANES
+    hi = tiles.max(axis=1) // LANES
+    window = int((hi - lo).max()) + 1
+    if window > MAX_WINDOW_CHUNKS:
+        if table_rows <= MAX_WINDOW_CHUNKS:
+            # small table: cover it whole from every tile
+            lo = np.zeros(n_tiles, np.int64)
+            window = table_rows
+        else:
+            return None, None, 0
+    # clamp so [base, base+window) stays inside the padded table
+    bases = np.minimum(lo, max(table_rows - window, 0)).astype(np.int32)
+    return ids2d, bases, int(window)
 
 
 _CHUNK = 512  # cumsum reset interval (see precision note below)
+
+
+def _onehot_histogram(ct: Array, ids2d: Array, table_size: int) -> Array:
+    """Duplicate-index scatter-add as chunked one-hot MXU matmuls.
+
+    The one-hot factors are exact 0/1 in bf16; ct is split into two bf16
+    terms (hi + residual) to recover most of the f32 mantissa. Measured
+    accuracy on v5e: max error ~3e-4 of each segment's sum(|ct|) (the MXU's
+    internal accumulation order), vs ~4e-7 for the permuted-cumsum path —
+    far below the MC noise floor of the gradients this path serves, and
+    ~2.4x faster (2x1.95 ms vs 6.9 ms for 1M x 2048 on v5e).
+    """
+    total = ids2d.size
+    ct = jnp.concatenate([ct, jnp.zeros(total - ct.shape[0], ct.dtype)])
+    v = ct.reshape(-1, BLOCK_OBS)
+    ii = ids2d.reshape(-1, BLOCK_OBS)
+    iota = jnp.arange(table_size, dtype=ids2d.dtype)
+    # the MXU accumulates bf16 products in f32, so the split is ~f32-exact
+    # there; other backends may accumulate bf16 matmuls in low precision,
+    # so they use a plain f32 one-hot dot (correctness over speed off-TPU)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def body(acc, args):
+        vv, idx = args
+        if on_tpu:
+            oh = (idx[:, None] == iota[None, :]).astype(jnp.bfloat16)
+            hi = vv.astype(jnp.bfloat16)
+            lo = (vv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            # keep the two dots separate: XLA's algebraic simplifier would
+            # otherwise refold them into one bf16 dot of hi+lo == bf16(vv),
+            # silently dropping the residual term (observed on v5e)
+            hi, lo = jax.lax.optimization_barrier((hi, lo))
+            acc = acc + jnp.dot(hi, oh, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(lo, oh, preferred_element_type=jnp.float32)
+        else:
+            oh = (idx[:, None] == iota[None, :]).astype(jnp.float32)
+            acc = acc + jnp.dot(vv, oh, preferred_element_type=jnp.float32)
+        return acc, ()
+
+    out, _ = jax.lax.scan(body, jnp.zeros(table_size, jnp.float32), (v, ii))
+    return out
 
 
 def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
     """sum of contrib over each id's segment: the scatter-add closed form.
 
     contrib may have leading batch axes; the segmented axis is the last one.
+    When plan.perm is None the contributions are already in table-id order
+    and the permute is skipped (the sorted training path).
 
     Precision: a single global f32 cumsum grows to sum(|contrib|) magnitude,
     so boundary differences for short segments lose ~|cs|*eps absolute
@@ -65,7 +190,12 @@ def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
     chunk prefix cancels exactly and the error is bounded by the local
     chunk magnitude.
     """
-    c_sorted = jnp.take(contrib, plan.perm, axis=-1)
+    if plan.hist and contrib.ndim == 1 and plan.ids2d is not None:
+        return _onehot_histogram(contrib, plan.ids2d, plan.starts.shape[0])
+    if plan.perm is None:
+        c_sorted = contrib
+    else:
+        c_sorted = jnp.take(contrib, plan.perm, axis=-1)
     n = c_sorted.shape[-1]
     lead = c_sorted.shape[:-1]
     # pad with >= 1 zero so boundary position n indexes a real (zero) slot
@@ -91,31 +221,68 @@ def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
     return at(plan.ends) - at(plan.starts)
 
 
-@jax.custom_vjp
-def _plan_gather(table, ids, perm, starts, ends):
+# --------------------------------------------------------------------------
+# XLA-forward path (batched tables / no window plan)
+# --------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _plan_gather(hist, table, ids, perm, starts, ends, ids2d):
     return jnp.take(table, ids, axis=-1)
 
 
-def _plan_gather_fwd(table, ids, perm, starts, ends):
-    return jnp.take(table, ids, axis=-1), (perm, starts, ends)
+def _plan_gather_fwd(hist, table, ids, perm, starts, ends, ids2d):
+    return jnp.take(table, ids, axis=-1), (perm, starts, ends, ids2d)
 
 
-def _plan_gather_bwd(res, ct):
-    perm, starts, ends = res
-    dtable = segment_sum_by_plan(ct, GatherPlan(perm, starts, ends))
-    return dtable, None, None, None, None
+def _plan_gather_bwd(hist, res, ct):
+    perm, starts, ends, ids2d = res
+    dtable = segment_sum_by_plan(
+        ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
+                       hist=hist))
+    return dtable, None, None, None, None, None
 
 
 _plan_gather.defvjp(_plan_gather_fwd, _plan_gather_bwd)
 
 
+# --------------------------------------------------------------------------
+# Pallas-forward path (1-D table with a window plan)
+# --------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
+                          starts, ends):
+    from .table_gather import windowed_gather
+    return windowed_gather(table, ids2d, bases, window)[:n]
+
+
+def _windowed_fwd(window, n, hist, table, ids2d, bases, perm, starts, ends):
+    out = _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
+                                starts, ends)
+    return out, (perm, starts, ends, ids2d)
+
+
+def _windowed_bwd(window, n, hist, res, ct):
+    perm, starts, ends, ids2d = res
+    dtable = segment_sum_by_plan(
+        ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
+                       hist=hist))
+    return dtable, None, None, None, None, None
+
+
+_windowed_plan_gather.defvjp(_windowed_fwd, _windowed_bwd)
+
+
 def plan_gather(table: Array, ids: Array,
                 plan: Optional[GatherPlan]) -> Array:
-    """`jnp.take(table, ids, axis=-1)` with the fast planned transpose.
+    """`jnp.take(table, ids, axis=-1)` with planned fast paths.
 
     Falls back to a plain gather (XLA scatter transpose) when plan is None —
     e.g. on sharded inputs where the ids are not globally addressable.
     """
     if plan is None:
         return jnp.take(table, ids, axis=-1)
-    return _plan_gather(table, ids, plan.perm, plan.starts, plan.ends)
+    if plan.window > 0 and table.ndim == 1 and ids.ndim == 1:
+        return _windowed_plan_gather(
+            plan.window, ids.shape[0], plan.hist, table, plan.ids2d,
+            plan.bases, plan.perm, plan.starts, plan.ends)
+    return _plan_gather(plan.hist, table, ids, plan.perm, plan.starts,
+                        plan.ends, plan.ids2d)

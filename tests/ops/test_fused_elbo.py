@@ -83,7 +83,7 @@ def test_fused_elbo_matches_xla_path(rng):
     # reference path with the same z_f sample and the same eps
     k_f, k_s = jax.random.split(key)
     q = model.posterior.distribution(params["posterior"])
-    z_f = q.sample(k_f, ())
+    z_f = q.sample(k_f, (1,))[0]
     mlp_dist = model.scaler.mlp.apply(params["scaler"]["mlp"], inputs)
     a = model.scaler.image.scales(params["scaler"]["image"])[inputs.image_id]
     z = a * mlp_dist.loc + jnp.abs(a) * mlp_dist.scale * noise
@@ -94,6 +94,36 @@ def test_fused_elbo_matches_xla_path(rng):
     kl = jnp.sum(q.log_prob(z_f) - model.prior.log_prob(z_f))
     np.testing.assert_allclose(float(loss_fused), float(nll + kl), rtol=1e-5)
     np.testing.assert_allclose(float(m_fused["NLL"]), float(nll), rtol=1e-5)
+
+
+def test_fused_elbo_multi_sample_matches_manual(rng):
+    """mc_samples > 1: the fused path averages S kernel invocations; with a
+    shared supplied eps it must equal the manual per-sample XLA average."""
+    inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=300)
+    model, params = make_model(inputs, n_refl, n_images, NormalLikelihood(),
+                               scaler_kind="hybrid", mc_samples=3)
+    fused_model = model.__class__(**{**model.__dict__, "fused_kernel": True})
+    inputs_p = inputs.with_plans(n_refl, n_images)
+    assert fused_model._fused_eligible(inputs_p)
+
+    key = jax.random.PRNGKey(5)
+    noise = jnp.asarray(rng.normal(size=inputs.n_obs).astype(np.float32))
+    loss_fused, m = fused_model._elbo_fused(params, key, inputs_p,
+                                            noise=noise)
+
+    k_f, k_s = jax.random.split(key)
+    q = model.posterior.distribution(params["posterior"])
+    z_f = q.sample(k_f, (3,))
+    mlp_dist = model.scaler.mlp.apply(params["scaler"]["mlp"], inputs)
+    a = model.scaler.image.scales(params["scaler"]["image"])[inputs.image_id]
+    z = a * mlp_dist.loc + jnp.abs(a) * mlp_dist.scale * noise
+    lik = model.likelihood.build({}, inputs)
+    ll = 0.0
+    for s in range(3):
+        ll = ll + jnp.sum(lik.log_prob(z * jnp.square(z_f[s][inputs.refl_id])))
+    ll = ll / 3
+    kl = jnp.sum(q.log_prob(z_f) - model.prior.log_prob(z_f)) / 3
+    np.testing.assert_allclose(float(loss_fused), float(-ll + kl), rtol=1e-5)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
