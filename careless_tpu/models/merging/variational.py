@@ -240,7 +240,12 @@ class VariationalMergingModel:
         z_f = q.sample(k_f, (self.mc_samples,))
         scale_dist = self.scaler.apply(params["scaler"], inputs)
         z_scale = scale_dist.sample(k_s, (self.mc_samples,))
-        return z_scale * jnp.square(z_f[:, inputs.refl_id])
+        z_obs = plan_gather(z_f, inputs.refl_id,
+                            inputs.plans.refl if inputs.plans else None)
+        ipred = z_scale * jnp.square(z_obs)
+        if inputs.mask is not None:
+            ipred = ipred * inputs.mask
+        return ipred
 
     # ---------------------------------------------------- posterior outputs
     def scale_mean_stddev(self, params: dict, inputs: Inputs):
@@ -415,6 +420,13 @@ class Trainer:
         aborted = False
         while done < steps and not aborted:
             n = min(chunk_size, steps - done)
+            if validation_data is not None:
+                # evaluate BEFORE the chunk: the reference computes NLL_val
+                # at step i % k == 0 and repeats it for the next k-1 steps
+                # (reference variational.py:257-260)
+                v = float(val_nll(params, jax.random.fold_in(
+                    key_base, 2**30 + done), validation_data))
+                history["NLL_val"].extend([val_scale * v] * n)
             keys = jax.vmap(
                 lambda i: jax.random.fold_in(key_base, i))(
                     jnp.arange(done, done + n))
@@ -423,10 +435,6 @@ class Trainer:
             metrics = np.asarray(metrics)  # (n, len(metric_keys))
             for j, k in enumerate(metric_keys):
                 history[k].extend(metrics[:, j].tolist())
-            if validation_data is not None:
-                v = float(val_nll(params, jax.random.fold_in(
-                    key_base, 2**30 + done), validation_data))
-                history["NLL_val"].extend([val_scale * v] * n)
             done += n
             bar.update(n)
             bar.set_postfix({k: f"{history[k][-1]:0.2e}" for k in history})
