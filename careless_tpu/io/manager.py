@@ -71,6 +71,15 @@ class DataManager:
         not the subset's own max image id."""
         return int(np.max(np.asarray(self.inputs.image_id))) + 1
 
+    @property
+    def mlp_width(self) -> int:
+        """Scaling-MLP hidden width (reference manager.py:446-448: the
+        --mlp-width flag, defaulting to the metadata dimension). Used to
+        pre-pack metadata into the fused-trunk lane layout."""
+        width = self.parser.mlp_width
+        return int(width) if width is not None \
+            else int(self.inputs.metadata.shape[-1])
+
     # ---------------------------------------------------------- wilson prior
     @staticmethod
     def wilson_sigma(b: float, dHKL: np.ndarray) -> np.ndarray:
@@ -140,7 +149,8 @@ class DataManager:
                     f"Unsupported scale bijector type, {parser.scale_bijector}")
             mlp = MLPScaler(parser.mlp_layers, mlp_width,
                             epsilon=parser.epsilon, scale_bijector=bijector,
-                            scale_multiplier=istd)
+                            scale_multiplier=istd,
+                            mlp_dtype=getattr(parser, "mlp_dtype", "float32"))
             n_images = self.n_images
             if parser.image_layers > 0:
                 scaler = NeuralImageScaler(parser.image_layers, n_images, mlp)

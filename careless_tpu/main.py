@@ -57,7 +57,8 @@ def run_careless(parser):
                                           params["posterior"])
 
     train_dev, mesh = _shard_inputs(train, parser.num_devices,
-                                    n_refl=dm.n_refl, n_images=dm.n_images)
+                                    n_refl=dm.n_refl, n_images=dm.n_images,
+                                    mlp_width=dm.mlp_width)
 
     key = jax.random.PRNGKey(parser.seed)
     progress = not parser.disable_progress_bar
@@ -127,7 +128,8 @@ def run_half_dataset_crossvalidation(dm, trained_params, parser, progress):
             # image ids but the frozen scaler's table is full-sized
             half_dev, _ = _shard_inputs(half, parser.num_devices,
                                         n_refl=dm.n_refl,
-                                        n_images=dm.n_images)
+                                        n_images=dm.n_images,
+                                        mlp_width=dm.mlp_width)
             key = jax.random.PRNGKey(parser.seed + 7919 * (2 * repeat + half_id + 1))
             params, _ = trainer.train(
                 params, key, half_dev, parser.iterations,
@@ -161,7 +163,8 @@ def _concat_predictions(a, b):
     return out
 
 
-def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None):
+def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None,
+                  mlp_width=None):
     """Shard per-observation arrays over a 1-D device mesh ('obs' axis);
     parameters stay replicated so refl_id gathers remain device-local and
     XLA psums the gradients over ICI (SURVEY.md §5.8).
@@ -176,7 +179,8 @@ def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None):
                 # sorted rows give the z_f gather tight kernel windows and
                 # an identity backward permute; the ELBO sum is order-free
                 inputs = inputs.sorted_by_refl()
-            inputs = inputs.with_plans(n_refl, n_images)
+            inputs = inputs.with_plans(n_refl, n_images,
+                                       mlp_width=mlp_width)
         return inputs, None
     from .parallel.shard import shard_inputs_over_mesh
     return shard_inputs_over_mesh(inputs, num_devices)

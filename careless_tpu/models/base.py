@@ -25,6 +25,7 @@ class GatherPlans(NamedTuple):
 
     refl: Optional["GatherPlanLike"] = None   # for z_f[refl_id]
     image: Optional["GatherPlanLike"] = None  # for image_scales[image_id]
+    meta: Optional["GatherPlanLike"] = None   # ops.fused_mlp.PackedMeta
 
 
 GatherPlanLike = object  # ops.plan_gather.GatherPlan (untyped to avoid a cycle)
@@ -74,7 +75,8 @@ class Inputs(NamedTuple):
         order = np.argsort(np.asarray(self.refl_id), kind="stable")
         return self.select(order)
 
-    def with_plans(self, n_refl: int, n_images: int) -> "Inputs":
+    def with_plans(self, n_refl: int, n_images: int,
+                   mlp_width: Optional[int] = None) -> "Inputs":
         """Attach static gather-transpose plans (host-side; see
         ops/plan_gather.py). Speeds up the backward pass of the ELBO's
         table gathers on the unsharded path.
@@ -83,11 +85,19 @@ class Inputs(NamedTuple):
         tables were built with — never inferred from this (possibly
         subset) Inputs. A plan sized from a subset's max image id emits a
         smaller-than-table gradient in the gather transpose and crashes
-        value_and_grad (the round-1 --merge-half-datasets regression)."""
+        value_and_grad (the round-1 --merge-half-datasets regression).
+
+        mlp_width: when given, also pre-pack the (static) metadata into the
+        fused-MLP lane layout (ops/fused_mlp.py) so the trunk kernel skips
+        the per-step XLA packing copies."""
+        from ..ops.fused_mlp import pack_metadata
         from ..ops.plan_gather import make_gather_plan
+        meta = (pack_metadata(self.metadata, mlp_width)
+                if mlp_width is not None else None)
         return self._replace(plans=GatherPlans(
             refl=make_gather_plan(self.refl_id, n_refl),
-            image=make_gather_plan(self.image_id, n_images)))
+            image=make_gather_plan(self.image_id, n_images),
+            meta=meta))
 
     @staticmethod
     def from_arrays(refl_id, image_id, file_id, metadata, intensities,

@@ -82,7 +82,8 @@ class NeuralImageScaler:
                 "image_layers": layers}
 
     def apply(self, params: dict, inputs: Inputs) -> Normal:
-        x = self.mlp.network(params["mlp"], inputs.metadata)
+        packed = inputs.plans.meta if inputs.plans is not None else None
+        x = self.mlp.network(params["mlp"], inputs.metadata, packed=packed)
         img = inputs.image_id
         for layer in params["image_layers"]:
             w = layer["w"][img]          # (N, units, in_dim)

@@ -51,6 +51,10 @@ class MLPScaler:
     # single-pallas-kernel trunk (ops/fused_mlp.py): one kernel per
     # direction instead of ~3*n_layers tiny XLA matmul dispatches
     fused: bool = True
+    # trunk matmul precision: 'float32' (reference-exact) or 'bfloat16'
+    # (bf16 MXU operands with f32 accumulation, ~4x the f32 matmul rate;
+    # parameters and all non-matmul math stay f32). CLI: --mlp-dtype.
+    mlp_dtype: str = "float32"
 
     def init(self, key, metadata_dim: int) -> dict:
         del key  # deterministic identity init, matching the reference
@@ -81,10 +85,12 @@ class MLPScaler:
         g = max(1, 128 // max(metadata_dim, self.width))
         return g
 
-    def network(self, params: dict, x):
+    def network(self, params: dict, x, packed=None):
         if self.fused and x.ndim == 2 and self.n_layers >= 2:
             from ...ops.fused_mlp import fused_mlp_trunk
-            return fused_mlp_trunk(x, params["layers"], self.leakiness)
+            return fused_mlp_trunk(x, params["layers"], self.leakiness,
+                                   bf16=self.mlp_dtype == "bfloat16",
+                                   packed=packed)
         g = self._pack_group(x.shape[-1])
         if g == 1 or x.ndim != 2:
             for layer in params["layers"]:
@@ -124,4 +130,6 @@ class MLPScaler:
         return Normal(loc, scale)
 
     def apply(self, params: dict, inputs: Inputs) -> Normal:
-        return self.head(params, self.network(params, inputs.metadata))
+        packed = inputs.plans.meta if inputs.plans is not None else None
+        return self.head(
+            params, self.network(params, inputs.metadata, packed=packed))

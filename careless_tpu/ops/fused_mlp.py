@@ -26,7 +26,9 @@ cotangent for sliced-away rows is zero, so no gradient leaks.
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,18 +44,32 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd_kernel(n_layers: int, leakiness: float):
+def _dot(a, b, bf16: bool, dims=None):
+    """MXU matmul; bf16 operands with f32 accumulation when requested (4x
+    the f32 MXU rate on TPU — the operands here are O(1) standardized
+    metadata activations and near-identity weights, well inside bf16 range).
+    """
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    if dims is None:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(n_layers: int, leakiness: float, bf16: bool):
     def kernel(x_ref, w_ref, b_ref, out_ref):
         h = x_ref[:]
         for l in range(n_layers):
-            h = jnp.dot(h, w_ref[l], preferred_element_type=jnp.float32)
+            h = _dot(h, w_ref[l], bf16)
             h = h + b_ref[l:l + 1, :]
             h = jnp.where(h >= 0, h, leakiness * h)
         out_ref[:] = h
     return kernel
 
 
-def _bwd_kernel(n_layers: int, leakiness: float):
+def _bwd_kernel(n_layers: int, leakiness: float, bf16: bool):
     def kernel(x_ref, w_ref, b_ref, dy_ref, dx_ref, dw_ref, db_ref):
         i = pl.program_id(0)
 
@@ -66,7 +82,7 @@ def _bwd_kernel(n_layers: int, leakiness: float):
         acts = [x_ref[:]]
         h = acts[0]
         for l in range(n_layers):
-            h = jnp.dot(h, w_ref[l], preferred_element_type=jnp.float32)
+            h = _dot(h, w_ref[l], bf16)
             h = h + b_ref[l:l + 1, :]
             h = jnp.where(h >= 0, h, leakiness * h)
             acts.append(h)
@@ -75,13 +91,10 @@ def _bwd_kernel(n_layers: int, leakiness: float):
         for l in range(n_layers - 1, -1, -1):
             # leaky_relu'(pre): act and pre share sign (leakiness > 0)
             dpre = dh * jnp.where(acts[l + 1] >= 0, 1.0, leakiness)
-            dw_ref[l] += jax.lax.dot_general(
-                acts[l], dpre, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            dw_ref[l] += _dot(acts[l], dpre, bf16,
+                              dims=(((0,), (0,)), ((), ())))
             db_ref[l:l + 1, :] += jnp.sum(dpre, axis=0, keepdims=True)
-            dh = jax.lax.dot_general(
-                dpre, w_ref[l], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            dh = _dot(dpre, w_ref[l], bf16, dims=(((1,), (1,)), ((), ())))
         dx_ref[:] = dh
     return kernel
 
@@ -97,16 +110,16 @@ def _specs(n_rows: int, n_layers: int):
     return grid, blk, w_spec, b_spec
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _trunk(n_rows, leakiness, x, w, b):
-    return _trunk_fwd(n_rows, leakiness, x, w, b)[0]
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _trunk(n_rows, leakiness, bf16, x, w, b):
+    return _trunk_fwd(n_rows, leakiness, bf16, x, w, b)[0]
 
 
-def _trunk_fwd(n_rows, leakiness, x, w, b):
+def _trunk_fwd(n_rows, leakiness, bf16, x, w, b):
     n_layers = w.shape[0]
     grid, blk, w_spec, b_spec = _specs(n_rows, n_layers)
     out = pl.pallas_call(
-        _fwd_kernel(n_layers, leakiness),
+        _fwd_kernel(n_layers, leakiness, bf16),
         grid=grid,
         in_specs=[blk(), w_spec, b_spec],
         out_specs=blk(),
@@ -116,12 +129,12 @@ def _trunk_fwd(n_rows, leakiness, x, w, b):
     return out, (x, w, b)
 
 
-def _trunk_bwd(n_rows, leakiness, res, dy):
+def _trunk_bwd(n_rows, leakiness, bf16, res, dy):
     x, w, b = res
     n_layers = w.shape[0]
     grid, blk, w_spec, b_spec = _specs(n_rows, n_layers)
     dx, dw, db = pl.pallas_call(
-        _bwd_kernel(n_layers, leakiness),
+        _bwd_kernel(n_layers, leakiness, bf16),
         grid=grid,
         in_specs=[blk(), w_spec, b_spec, blk()],
         out_specs=(blk(), w_spec, b_spec),
@@ -136,6 +149,46 @@ def _trunk_bwd(n_rows, leakiness, res, dy):
 
 
 _trunk.defvjp(_trunk_fwd, _trunk_bwd)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("x2d",),
+         meta_fields=("n", "d_in", "d_slot", "group"))
+@dataclass(frozen=True)
+class PackedMeta:
+    """Host-side pre-packed metadata for the fused trunk: the lane-packed
+    (rows, 128) buffer is static per dataset, so packing it in XLA on every
+    step (two N*d-sized copies, forward only — metadata takes no gradient)
+    is pure waste. Built once by `pack_metadata`, carried in
+    Inputs.plans.meta, matched by geometry at trace time (the int fields
+    are pytree metadata, so they stay concrete inside jit)."""
+
+    x2d: jax.Array      # (n_rows, 128) f32, BLOCK_ROWS-aligned
+    n: int              # real observation count
+    d_in: int           # metadata dim it was packed from
+    d_slot: int         # per-observation lane slot (max(d_in, width))
+    group: int          # observations per row
+
+
+def pack_geometry(n: int, d_in: int, width: int):
+    d_slot = max(d_in, width)
+    group = max(1, LANES // d_slot)
+    rows_real = -(-n // group)
+    n_rows = -(-rows_real // BLOCK_ROWS) * BLOCK_ROWS
+    return d_slot, group, n_rows
+
+
+def pack_metadata(x: np.ndarray, width: int) -> PackedMeta:
+    """Pack metadata (N, d) into the fused-trunk lane layout (numpy,
+    host-side, once per dataset)."""
+    x = np.asarray(x, np.float32)
+    n, d_in = x.shape
+    d_slot, group, n_rows = pack_geometry(n, d_in, width)
+    x_pad = np.zeros((n_rows * group, d_slot), np.float32)
+    x_pad[:n, :d_in] = x
+    x2d = np.zeros((n_rows, LANES), np.float32)
+    x2d[:, :group * d_slot] = x_pad.reshape(n_rows, group * d_slot)
+    return PackedMeta(x2d=x2d, n=n, d_in=d_in, d_slot=d_slot, group=group)
 
 
 def pack_params(layers, d_slot: int, group: int):
@@ -164,26 +217,31 @@ def pack_params(layers, d_slot: int, group: int):
     return jnp.stack(ws), jnp.stack(bs)
 
 
-def fused_mlp_trunk(x, layers, leakiness: float):
+def fused_mlp_trunk(x, layers, leakiness: float, bf16: bool = False,
+                    packed: Optional[PackedMeta] = None):
     """Run the full hidden-layer stack over metadata x (N, d) in one Pallas
     kernel pass; returns (N, width) activations. layers: list of {'w','b'}
-    with layer 0 mapping d -> width and the rest width -> width."""
+    with layer 0 mapping d -> width and the rest width -> width.
+
+    packed: pre-packed metadata (pack_metadata) — used instead of x when its
+    geometry matches, skipping the per-step XLA packing copies."""
     n, d_in = x.shape
     width = layers[0]["w"].shape[1]
-    d_slot = max(d_in, width)
-    group = max(1, LANES // d_slot)
+    d_slot, group, n_rows = pack_geometry(n, d_in, width)
     w, b = pack_params(layers, d_slot, group)
 
-    # pack observations g-per-row: obs o -> (row o//g, slot o%g)
-    rows_real = -(-n // group)
-    n_rows = -(-rows_real // BLOCK_ROWS) * BLOCK_ROWS
-    x_pad = jnp.zeros((n_rows * group, d_slot), jnp.float32)
-    x_pad = x_pad.at[:n, :d_in].set(x)
-    x2d = jnp.zeros((n_rows, LANES), jnp.float32)
-    x2d = x2d.at[:, :group * d_slot].set(
-        x_pad.reshape(n_rows, group * d_slot))
+    if (packed is not None and packed.n == n and packed.d_in == d_in
+            and packed.d_slot == d_slot and packed.group == group):
+        x2d = packed.x2d
+    else:
+        # pack observations g-per-row: obs o -> (row o//g, slot o%g)
+        x_pad = jnp.zeros((n_rows * group, d_slot), jnp.float32)
+        x_pad = x_pad.at[:n, :d_in].set(x)
+        x2d = jnp.zeros((n_rows, LANES), jnp.float32)
+        x2d = x2d.at[:, :group * d_slot].set(
+            x_pad.reshape(n_rows, group * d_slot))
 
-    h = _trunk(int(n_rows), float(leakiness), x2d, w, b)
+    h = _trunk(int(n_rows), float(leakiness), bool(bf16), x2d, w, b)
 
     # unpack: slot j's output lanes [j*D, j*D+width)
     h = h[:, :group * d_slot].reshape(n_rows * group, d_slot)[:n, :width]

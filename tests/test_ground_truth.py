@@ -100,6 +100,42 @@ def test_posterior_recovers_known_structure_factors(rng):
 
 
 @pytest.mark.slow
+def test_bf16_mlp_recovers_same_posterior(rng):
+    """--mlp-dtype=bfloat16 (bf16 trunk matmuls, f32 accumulation) must
+    converge to the same posterior as float32 within MC error — the quality
+    gate for shipping bf16 as a production option."""
+    inputs, f_true, _ = simulate(rng, n_refl=60, redundancy=40)
+    n_refl = len(f_true)
+    results = []
+    for dtype in ("float32", "bfloat16"):
+        centric = np.zeros(n_refl, bool)
+        prior = WilsonPrior(centric, np.ones(n_refl, np.float32))
+        posterior = TruncatedNormalPosterior(
+            low=(1e-32 * np.ones(n_refl)).astype(np.float32))
+        scaler = MLPScaler(6, 8, mlp_dtype=dtype)
+        model = VariationalMergingModel(posterior, prior,
+                                        NormalLikelihood(), scaler)
+        params = model.init(jax.random.PRNGKey(0), inputs,
+                            (np.asarray(prior.mean()),
+                             np.asarray(prior.stddev())))
+        trainer = Trainer(model, learning_rate=3e-3)
+        params, history = trainer.train(params, jax.random.PRNGKey(11),
+                                        inputs, steps=2500, progress=False,
+                                        chunk_size=500)
+        assert np.isfinite(history["loss"]).all()
+        q = model.posterior.distribution(params["posterior"])
+        results.append(np.asarray(q.mean()))
+    cc = np.corrcoef(results[0], results[1])[0, 1]
+    assert cc > 0.995, cc
+    g = np.median(results[1] / results[0])
+    rel = np.abs(g * results[0] - results[1]) / np.maximum(results[1], 1e-3)
+    assert np.median(rel) < 0.05, np.median(rel)
+    # and both recover the ground truth
+    cc_true = np.corrcoef(results[1], f_true)[0, 1]
+    assert cc_true > 0.97, cc_true
+
+
+@pytest.mark.slow
 def test_recovery_is_mc_sample_consistent(rng):
     """mc_samples > 1 converges to the same posterior (within MC error)."""
     inputs, f_true, _ = simulate(rng, n_refl=60, redundancy=40)
