@@ -135,44 +135,47 @@ _CHUNK = 512  # cumsum reset interval (see precision note below)
 
 
 def _onehot_histogram(ct: Array, ids2d: Array, table_size: int) -> Array:
-    """Duplicate-index scatter-add as chunked one-hot MXU matmuls.
+    """Duplicate-index scatter-add as a two-level hi/lo MXU histogram.
 
-    The one-hot factors are exact 0/1 in bf16; ct is split into two bf16
-    terms (hi + residual) to recover most of the f32 mantissa. Measured
-    accuracy on v5e: max error ~3e-4 of each segment's sum(|ct|) (the MXU's
-    internal accumulation order), vs ~4e-7 for the permuted-cumsum path —
-    far below the MC noise floor of the gradients this path serves, and
-    ~2.4x faster (2x1.95 ms vs 6.9 ms for 1M x 2048 on v5e).
+    The naive one-hot matmul (ct (1,K) @ onehot (K,T)) is bound by GENERATING
+    the K*T one-hot on the VPU (2G comparisons for 1M x 2048 — measured
+    2x1.95 ms on v5e). Factor the id instead: id = hi*128 + lo. Per
+    observation tile,
+
+        A[h, k] = ct[k] * [hi_k == h]     (t_rows x K  — t_rows = T/128
+                                           comparisons per element, 16x fewer)
+        B[k, l] = [lo_k == l]             (K x 128     — 128 per element)
+        tile histogram = A @ B            ((t_rows, 128) = the whole table)
+
+    so the comparison count drops from K*T to K*(T/128 + 128) and the MXU
+    contraction does the rest. Row h of A@B collects exactly the entries
+    with hi==h into lanes lo — every (h, l) pair is one table id.
+
+    Precision: operands stay f32 with HIGHEST matmul precision (the one-hot
+    factors are exact in any dtype; ct keeps full mantissa). Measured on
+    v5e: ~6x faster than the bf16-split one-hot it replaces AND ~1000x more
+    accurate (see benchmarks/PERF_NOTES.md).
     """
     total = ids2d.size
+    t_rows = -(-table_size // LANES)
     ct = jnp.concatenate([ct, jnp.zeros(total - ct.shape[0], ct.dtype)])
     v = ct.reshape(-1, BLOCK_OBS)
     ii = ids2d.reshape(-1, BLOCK_OBS)
-    iota = jnp.arange(table_size, dtype=ids2d.dtype)
-    # the MXU accumulates bf16 products in f32, so the split is ~f32-exact
-    # there; other backends may accumulate bf16 matmuls in low precision,
-    # so they use a plain f32 one-hot dot (correctness over speed off-TPU)
-    on_tpu = jax.default_backend() == "tpu"
+    hi_iota = jnp.arange(t_rows, dtype=ids2d.dtype)
+    lo_iota = jnp.arange(LANES, dtype=ids2d.dtype)
 
     def body(acc, args):
         vv, idx = args
-        if on_tpu:
-            oh = (idx[:, None] == iota[None, :]).astype(jnp.bfloat16)
-            hi = vv.astype(jnp.bfloat16)
-            lo = (vv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            # keep the two dots separate: XLA's algebraic simplifier would
-            # otherwise refold them into one bf16 dot of hi+lo == bf16(vv),
-            # silently dropping the residual term (observed on v5e)
-            hi, lo = jax.lax.optimization_barrier((hi, lo))
-            acc = acc + jnp.dot(hi, oh, preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(lo, oh, preferred_element_type=jnp.float32)
-        else:
-            oh = (idx[:, None] == iota[None, :]).astype(jnp.float32)
-            acc = acc + jnp.dot(vv, oh, preferred_element_type=jnp.float32)
-        return acc, ()
+        hi = idx // LANES
+        lo = idx % LANES
+        a = vv[None, :] * (hi[None, :] == hi_iota[:, None])  # (t_rows, K)
+        b = (lo[:, None] == lo_iota[None, :]).astype(vv.dtype)  # (K, 128)
+        return acc + jnp.dot(a, b, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST), ()
 
-    out, _ = jax.lax.scan(body, jnp.zeros(table_size, jnp.float32), (v, ii))
-    return out
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((t_rows, LANES), jnp.float32), (v, ii))
+    return out.reshape(t_rows * LANES)[:table_size]
 
 
 def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
@@ -269,6 +272,62 @@ def _windowed_bwd(window, n, hist, res, ct):
 
 
 _windowed_plan_gather.defvjp(_windowed_fwd, _windowed_bwd)
+
+
+# --------------------------------------------------------------------------
+# Planned convolve (the transpose of plan_gather): duplicate-index
+# scatter-add of per-observation values into same-length id buckets — the
+# Laue harmonic convolution (reference likelihoods/laue.py:17-25). Forward
+# is the planned segment sum; backward is a planned gather of the cotangent.
+# --------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _plan_convolve(window, hist, value, ids, perm, starts, ends, ids2d,
+                   bases):
+    return segment_sum_by_plan(
+        value, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
+                          hist=hist))
+
+
+def _plan_convolve_fwd(window, hist, value, ids, perm, starts, ends, ids2d,
+                       bases):
+    out = _plan_convolve(window, hist, value, ids, perm, starts, ends,
+                         ids2d, bases)
+    return out, (ids, ids2d, bases)
+
+
+def _plan_convolve_bwd(window, hist, res, ct):
+    ids, ids2d, bases = res
+    if window > 0 and ids.ndim == 1 and ids2d is not None:
+        from .table_gather import windowed_gather
+        n = ids.shape[0]
+        if ct.ndim == 1:
+            dv = windowed_gather(ct, ids2d, bases, window)[:n]
+        else:
+            dv = jax.vmap(
+                lambda row: windowed_gather(row, ids2d, bases, window)[:n]
+            )(ct)
+    else:
+        dv = jnp.take(ct, ids, axis=-1)
+    return dv, None, None, None, None, None, None
+
+
+_plan_convolve.defvjp(_plan_convolve_fwd, _plan_convolve_bwd)
+
+
+def plan_convolve(value: Array, ids: Array,
+                  plan: Optional[GatherPlan]) -> Array:
+    """out[..., g] = sum of value[..., o] over o with ids[o] == g, same
+    length as value (ids' table size must equal value's last-axis length).
+    With a plan, forward runs as the fast segment sum and backward as the
+    planned gather; without one, falls back to the XLA scatter-add."""
+    if plan is None:
+        if value.ndim == 1:
+            return jnp.zeros_like(value).at[ids].add(value)
+        return jnp.zeros_like(value).at[..., ids].add(value)
+    # hist is tuned for small tables; here table_size == n_obs, so the
+    # cumsum path is always the right branch
+    return _plan_convolve(plan.window, False, value, ids, plan.perm,
+                          plan.starts, plan.ends, plan.ids2d, plan.bases)
 
 
 def plan_gather(table: Array, ids: Array,
