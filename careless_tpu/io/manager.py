@@ -76,7 +76,8 @@ class DataManager:
         """Scaling-MLP hidden width (reference manager.py:446-448: the
         --mlp-width flag, defaulting to the metadata dimension). Used to
         pre-pack metadata into the fused-trunk lane layout."""
-        width = self.parser.mlp_width
+        width = (self.parser.mlp_width if self.parser is not None
+                 else None)
         return int(width) if width is not None \
             else int(self.inputs.metadata.shape[-1])
 

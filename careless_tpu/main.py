@@ -179,6 +179,11 @@ def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None,
                 # sorted rows give the z_f gather tight kernel windows and
                 # an identity backward permute; the ELBO sum is order-free
                 inputs = inputs.sorted_by_refl()
+            else:
+                # group-contiguous rows give the harmonic convolution an
+                # unpermuted segment-sum forward and a tight-window
+                # backward gather (models/likelihoods/laue.py)
+                inputs = inputs.sorted_by_harmonic()
             inputs = inputs.with_plans(n_refl, n_images,
                                        mlp_width=mlp_width)
         return inputs, None

@@ -26,6 +26,7 @@ class GatherPlans(NamedTuple):
     refl: Optional["GatherPlanLike"] = None   # for z_f[refl_id]
     image: Optional["GatherPlanLike"] = None  # for image_scales[image_id]
     meta: Optional["GatherPlanLike"] = None   # ops.fused_mlp.PackedMeta
+    harmonic: Optional["GatherPlanLike"] = None  # Laue convolve over harmonic_id
 
 
 GatherPlanLike = object  # ops.plan_gather.GatherPlan (untyped to avoid a cycle)
@@ -53,7 +54,18 @@ class Inputs(NamedTuple):
     def n_obs(self) -> int:
         return self.refl_id.shape[0]
 
+    # fields the gather plans are derived from: replacing any of these with
+    # stale plans attached would silently compute on wrong indices/metadata
+    _PLAN_SOURCE_FIELDS = frozenset(
+        ("refl_id", "image_id", "metadata", "harmonic_id"))
+
     def replace(self, **kwargs) -> "Inputs":
+        """_replace that preserves the plan invariant: plans always travel
+        with the arrays they were built from, so replacing a plan-source
+        field drops them (recompute via with_plans)."""
+        if (self.plans is not None and "plans" not in kwargs
+                and self._PLAN_SOURCE_FIELDS.intersection(kwargs)):
+            kwargs["plans"] = None
         return self._replace(**kwargs)
 
     def select(self, mask_or_idx) -> "Inputs":
@@ -75,6 +87,35 @@ class Inputs(NamedTuple):
         order = np.argsort(np.asarray(self.refl_id), kind="stable")
         return self.select(order)
 
+    def sorted_by_harmonic(self) -> "Inputs":
+        """Stable-sort Laue rows by harmonic_id so harmonic groups are
+        contiguous runs (host-side numpy). Training-path optimization: the
+        planned convolution's forward segment-sum then needs no permute and
+        its backward gather gets tight kernel windows (ops/plan_gather.py).
+
+        Only PER-ROW fields are reordered. intensities/uncertainties are
+        indexed by GROUP id (the first n_groups entries carry the group
+        values, reference formatter.py:637-640), and group ids do not
+        change, so they stay exactly as packed. The convolved likelihood
+        compares conv[g] against intensities[g] — row-order free."""
+        if not self.is_laue:
+            raise ValueError("sorted_by_harmonic applies to Laue inputs only")
+        order = np.argsort(np.asarray(self.harmonic_id), kind="stable")
+
+        def take_rows(x):
+            return None if x is None else np.asarray(x)[order]
+
+        return self._replace(
+            refl_id=take_rows(self.refl_id),
+            image_id=take_rows(self.image_id),
+            file_id=take_rows(self.file_id),
+            metadata=take_rows(self.metadata),
+            wavelength=take_rows(self.wavelength),
+            harmonic_id=take_rows(self.harmonic_id),
+            mask=take_rows(self.mask),
+            plans=None,
+        )
+
     def with_plans(self, n_refl: int, n_images: int,
                    mlp_width: Optional[int] = None) -> "Inputs":
         """Attach static gather-transpose plans (host-side; see
@@ -94,10 +135,13 @@ class Inputs(NamedTuple):
         from ..ops.plan_gather import make_gather_plan
         meta = (pack_metadata(self.metadata, mlp_width)
                 if mlp_width is not None else None)
+        harmonic = (make_gather_plan(self.harmonic_id, self.n_obs)
+                    if self.is_laue else None)
         return self._replace(plans=GatherPlans(
             refl=make_gather_plan(self.refl_id, n_refl),
             image=make_gather_plan(self.image_id, n_images),
-            meta=meta))
+            meta=meta,
+            harmonic=harmonic))
 
     @staticmethod
     def from_arrays(refl_id, image_id, file_id, metadata, intensities,

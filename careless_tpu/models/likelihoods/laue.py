@@ -8,9 +8,14 @@ intensity (laue.py:17-34). Rows beyond the group count are padding whose
 log-prob is garbage-but-gradient-free (the packed intensities carry 1s
 there, see SURVEY.md §2.3).
 
-TPU note: the convolution is a same-length scatter-add, expressed with
-`.at[].add()` so XLA emits a single fused scatter; under data-parallel
-sharding the formatter keeps harmonic groups shard-local (SURVEY.md §5.8).
+TPU note: XLA lowers the duplicate-index scatter-add element-serialized on
+TPU, so the training path attaches a static convolve plan
+(Inputs.plans.harmonic, built over harmonic_id by Inputs.with_plans): the
+forward becomes a chunked-cumsum segment sum and the backward a windowed
+gather (ops/plan_gather.py plan_convolve). Without a plan (e.g. freshly
+split inputs) it falls back to the `.at[].add()` scatter. Under
+data-parallel sharding the shard layout keeps harmonic groups shard-local
+(SURVEY.md §5.8).
 """
 from __future__ import annotations
 
@@ -18,6 +23,7 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
+from ...ops.plan_gather import plan_convolve
 from ..base import Inputs
 from . import mono
 
@@ -25,17 +31,16 @@ from . import mono
 class ConvolvedLikelihood:
     """Wraps a base distribution; log_prob(v) = base.log_prob(convolve(v))."""
 
-    def __init__(self, distribution, harmonic_id):
+    def __init__(self, distribution, harmonic_id, plan=None):
         self.distribution = distribution
         self.harmonic_id = harmonic_id
+        self.plan = plan
 
     def convolve(self, value):
         """Scatter-add along the last (observation) axis into same-length
-        harmonic-group buckets (reference laue.py:17-25)."""
-        value = jnp.asarray(value)
-        if value.ndim == 1:
-            return jnp.zeros_like(value).at[self.harmonic_id].add(value)
-        return jnp.zeros_like(value).at[..., self.harmonic_id].add(value)
+        harmonic-group buckets (reference laue.py:17-25); planned fast
+        segment-sum when a convolve plan is attached."""
+        return plan_convolve(jnp.asarray(value), self.harmonic_id, self.plan)
 
     def log_prob(self, value):
         return self.distribution.log_prob(self.convolve(value))
@@ -47,6 +52,10 @@ class ConvolvedLikelihood:
         return self.distribution.stddev()
 
 
+def _harmonic_plan(inputs: Inputs):
+    return inputs.plans.harmonic if inputs.plans is not None else None
+
+
 def _convolved(base_cls):
     @dataclass(frozen=True)
     class _Conv:
@@ -55,7 +64,8 @@ def _convolved(base_cls):
 
         def build(self, params: dict, inputs: Inputs):
             return ConvolvedLikelihood(base_cls().build(params, inputs),
-                                       inputs.harmonic_id)
+                                       inputs.harmonic_id,
+                                       plan=_harmonic_plan(inputs))
     _Conv.__name__ = base_cls.__name__
     _Conv.__qualname__ = base_cls.__name__
     return _Conv
@@ -76,7 +86,7 @@ class StudentTLikelihood:
     def build(self, params: dict, inputs: Inputs):
         return ConvolvedLikelihood(
             mono.StudentTLikelihood(self.dof).build(params, inputs),
-            inputs.harmonic_id)
+            inputs.harmonic_id, plan=_harmonic_plan(inputs))
 
 
 @dataclass(frozen=True)
@@ -89,4 +99,4 @@ class StudentTEv11Likelihood:
     def build(self, params: dict, inputs: Inputs):
         return ConvolvedLikelihood(
             mono.StudentTEv11Likelihood(self.dof).build(params, inputs),
-            inputs.harmonic_id)
+            inputs.harmonic_id, plan=_harmonic_plan(inputs))

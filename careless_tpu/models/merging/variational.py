@@ -68,8 +68,18 @@ class VariationalMergingModel:
     # term — lower-variance than the reference's full-MC KL
     analytic_kl: bool = False
 
-    def _fused_eligible(self, inputs: Inputs) -> bool:
+    def _fused_likelihood_kind(self):
+        """(kind, dof) for the fused kernel's pointwise chain, or None when
+        the likelihood is not fused-supported (ops/fused_elbo.py)."""
         from ..likelihoods.mono import NormalLikelihood as MonoNormal
+        from ..likelihoods.mono import StudentTLikelihood as MonoStudentT
+        if isinstance(self.likelihood, MonoNormal):
+            return ("normal", 0.0)
+        if isinstance(self.likelihood, MonoStudentT):
+            return ("studentt", float(self.likelihood.dof))
+        return None
+
+    def _fused_eligible(self, inputs: Inputs) -> bool:
         from ..scaling.image import HybridImageScaler
         from ..scaling.nn import MLPScaler
         # plans exist only on the single-device path; pallas_call is not
@@ -77,7 +87,7 @@ class VariationalMergingModel:
         return (self.fused_kernel
                 and not inputs.is_laue
                 and inputs.plans is not None
-                and isinstance(self.likelihood, MonoNormal)
+                and self._fused_likelihood_kind() is not None
                 and isinstance(self.scaler, (MLPScaler, HybridImageScaler)))
 
     # ------------------------------------------------------------------ init
@@ -189,12 +199,13 @@ class VariationalMergingModel:
                 # interpret mode has no in-kernel PRNG; feed XLA eps
                 eps = jax.random.normal(k_sample, (inputs.n_obs,),
                                         jnp.float32)
+            kind, dof = self._fused_likelihood_kind()
             ll_sum = ll_sum + fused_likelihood_sum(
                 mlp_dist.loc, mlp_dist.scale, image_scales, z_f[s],
                 inputs.refl_id, image_id, inputs.intensities,
                 inputs.uncertainties, inputs.mask, seed=seed, noise=eps,
                 refl_plan=plans.refl if plans is not None else None,
-                image_plan=image_plan)
+                image_plan=image_plan, kind=kind, dof=dof)
         ll_sum = ll_sum / self.mc_samples
 
         prior = self._built_prior(params)

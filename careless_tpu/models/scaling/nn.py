@@ -85,6 +85,14 @@ class MLPScaler:
         g = max(1, 128 // max(metadata_dim, self.width))
         return g
 
+    def _mm(self, a, b):
+        """Trunk matmul honoring mlp_dtype on every path (bf16 operands with
+        f32 accumulation when requested — not only in the fused kernel)."""
+        if self.mlp_dtype == "bfloat16":
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
     def network(self, params: dict, x, packed=None):
         if self.fused and x.ndim == 2 and self.n_layers >= 2:
             from ...ops.fused_mlp import fused_mlp_trunk
@@ -94,7 +102,7 @@ class MLPScaler:
         g = self._pack_group(x.shape[-1])
         if g == 1 or x.ndim != 2:
             for layer in params["layers"]:
-                x = jnp.dot(x, layer["w"], preferred_element_type=jnp.float32)
+                x = self._mm(x, layer["w"])
                 x = jax.nn.leaky_relu(x + layer["b"], self.leakiness)
             return x
         n = x.shape[0]
@@ -115,7 +123,7 @@ class MLPScaler:
         for layer in params["layers"]:
             w_bd = block_diag(layer["w"])               # (g*d, g*w)
             b_t = jnp.tile(layer["b"], g)
-            x = jnp.dot(x, w_bd, preferred_element_type=jnp.float32)
+            x = self._mm(x, w_bd)
             x = jax.nn.leaky_relu(x + b_t, self.leakiness)
         x = x.reshape(-1, self.width)
         return x[:n] if n_pad else x

@@ -80,7 +80,30 @@ def _common(seed_ref, i, noise_ref, loc_ref, scale_ref, a_ref, f_ref,
     return eps, a, z, F, ipred, sig, resid
 
 
-def _make_fwd_kernel(with_noise: bool):
+def _pointwise_ll(kind, dof, sig, resid):
+    """Log-likelihood of one observation given the standardized residual.
+    The only likelihood-specific lines of the kernel (SURVEY.md §3.2)."""
+    if kind == "normal":
+        return -0.5 * resid * resid - jnp.log(sig) - 0.5 * _LOG_2PI
+    if kind == "studentt":
+        import math
+        const = (math.lgamma((dof + 1.0) / 2.0) - math.lgamma(dof / 2.0)
+                 - 0.5 * math.log(dof * math.pi))
+        return (const - jnp.log(sig)
+                - 0.5 * (dof + 1.0) * jnp.log1p(resid * resid / dof))
+    raise ValueError(f"unsupported fused likelihood kind: {kind}")
+
+
+def _pointwise_dll_dipred(kind, dof, sig, resid):
+    """d ll / d ipred (resid = (iobs - ipred)/sig, d resid/d ipred = -1/sig)."""
+    if kind == "normal":
+        return resid / sig
+    if kind == "studentt":
+        return (dof + 1.0) * resid / ((dof + resid * resid) * sig)
+    raise ValueError(f"unsupported fused likelihood kind: {kind}")
+
+
+def _make_fwd_kernel(with_noise: bool, kind: str, dof: float):
     """Input refs arrive before output refs, so the optional noise input
     must be bound before out_ref."""
 
@@ -96,13 +119,13 @@ def _make_fwd_kernel(with_noise: bool):
         _, _, _, _, _, sig, resid = _common(
             seed_ref, i, noise_ref, loc_ref, scale_ref, a_ref, f_ref,
             iobs_ref, sig_ref)
-        ll = -0.5 * resid * resid - jnp.log(sig) - 0.5 * _LOG_2PI
+        ll = _pointwise_ll(kind, dof, sig, resid)
         out_ref[0, 0] += jnp.sum(mask_ref[:] * ll)
 
     return kernel
 
 
-def _make_bwd_kernel(with_noise: bool):
+def _make_bwd_kernel(with_noise: bool, kind: str, dof: float):
     """Emits per-observation gradient contributions; the duplicate-index
     scatter-adds into the z_f / image-scale tables are the autodiff
     transpose of the XLA gathers in `fused_likelihood_sum`."""
@@ -120,7 +143,7 @@ def _make_bwd_kernel(with_noise: bool):
             seed_ref, i, noise_ref, loc_ref, scale_ref, a_ref, f_ref,
             iobs_ref, sig_ref)
         # d ll_sum / d ipred
-        g = mask_ref[:] * resid / sig
+        g = mask_ref[:] * _pointwise_dll_dipred(kind, dof, sig, resid)
         dz = g * F * F
         dloc_ref[:] = dz * a
         dscale_ref[:] = dz * jnp.abs(a) * eps
@@ -161,12 +184,13 @@ def _specs(static, with_noise):
 
 
 def _fused_ll_fwd(static, seed, loc, scale, a, f, iobs, sig, mask, noise):
+    _, kind, dof = static
     grid, in_specs, blk = _specs(static, noise is not None)
     args = [seed, loc, scale, a, f, iobs, sig, mask]
     if noise is not None:
         args.append(noise)
     out = pl.pallas_call(
-        _make_fwd_kernel(noise is not None),
+        _make_fwd_kernel(noise is not None, kind, dof),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -180,13 +204,13 @@ def _fused_ll_fwd(static, seed, loc, scale, a, f, iobs, sig, mask, noise):
 
 def _fused_ll_bwd(static, res, ct):
     (seed, loc, scale, a, f, iobs, sig, mask, noise) = res
-    n_rows = static[0]
+    n_rows, kind, dof = static
     grid, in_specs, blk = _specs(static, noise is not None)
     args = [seed, loc, scale, a, f, iobs, sig, mask]
     if noise is not None:
         args.append(noise)
     dloc, dscale, da, df = pl.pallas_call(
-        _make_bwd_kernel(noise is not None),
+        _make_bwd_kernel(noise is not None, kind, dof),
         grid=grid,
         in_specs=in_specs,
         out_specs=(blk(), blk(), blk(), blk()),
@@ -206,10 +230,15 @@ _fused_ll.defvjp(_fused_ll_fwd, _fused_ll_bwd)
 def fused_likelihood_sum(loc, scale, image_scales, z_f, refl_id, image_id,
                          iobs, sig, mask=None, *, seed,
                          noise: Optional[jax.Array] = None,
-                         refl_plan=None, image_plan=None):
-    """sum over observations of mask * logNormal(z*F^2; iobs, sig) with
+                         refl_plan=None, image_plan=None,
+                         kind: str = "normal", dof: float = 0.0):
+    """sum over observations of mask * log p(z*F^2; iobs, sig) with
     z = a*loc + |a|*scale*eps. Differentiable w.r.t. loc, scale,
     image_scales, z_f.
+
+    kind/dof select the pointwise likelihood: 'normal' (reference
+    NormalLikelihood) or 'studentt' with `dof` degrees of freedom
+    (reference mono.py:25-37) — the only likelihood-specific lines.
 
     noise: optional externally-supplied standard normals (N,) — used by the
     parity tests; production uses the in-kernel PRNG seeded by `seed` (the
@@ -227,7 +256,7 @@ def fused_likelihood_sum(loc, scale, image_scales, z_f, refl_id, image_id,
     a_obs = plan_gather(image_scales, image_id, image_plan)
     f_obs = plan_gather(z_f, refl_id, refl_plan)
 
-    static = (int(n_rows),)
+    static = (int(n_rows), str(kind), float(dof))
     seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
     out = _fused_ll(
         static, seed_arr,

@@ -230,6 +230,10 @@ def fused_mlp_trunk(x, layers, leakiness: float, bf16: bool = False,
     d_slot, group, n_rows = pack_geometry(n, d_in, width)
     w, b = pack_params(layers, d_slot, group)
 
+    # INVARIANT: a PackedMeta must have been packed from exactly this x.
+    # The check below is geometric only (x may be traced here, so content
+    # cannot be compared at trace time); Inputs.replace() enforces the
+    # invariant by dropping plans whenever a plan-source field is replaced.
     if (packed is not None and packed.n == n and packed.d_in == d_in
             and packed.d_slot == d_slot and packed.group == group):
         x2d = packed.x2d

@@ -37,6 +37,16 @@ class EnvironmentSettingsMixin(argparse.ArgumentParser):
         if getattr(parser, "rng_impl", None):
             import jax
             jax.config.update("jax_default_prng_impl", parser.rng_impl)
+        if getattr(parser, "device_id", 0):
+            # pin single-device runs to the requested accelerator (the
+            # reference's --gpu-id, /root/reference/careless/parser.py:26-40)
+            import jax
+            devices = jax.devices()
+            if parser.device_id >= len(devices):
+                self.error(
+                    f"--device-id {parser.device_id} out of range: only "
+                    f"{len(devices)} device(s) available")
+            jax.config.update("jax_default_device", devices[parser.device_id])
         return parser
 
 

@@ -190,3 +190,64 @@ def test_posterior_moments_and_predictions(rng):
     assert (np.asarray(istd) > 0).all()
     mean, stddev = model.scale_mean_stddev(params, inputs)
     assert np.isfinite(np.asarray(mean)).all()
+
+
+def test_laue_planned_path_matches_unplanned(rng):
+    """The Laue perf layer (sorted_by_harmonic + harmonic/refl plans,
+    main._shard_inputs) must be a pure layout change: identical loss and
+    parameter gradients vs the plain XLA path on unsorted rows."""
+    inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=300, laue=True)
+    # scramble row order so the sort actually does something
+    order = np.random.default_rng(3).permutation(300)
+    scrambled = inputs._replace(
+        refl_id=np.asarray(inputs.refl_id)[order],
+        image_id=np.asarray(inputs.image_id)[order],
+        file_id=np.asarray(inputs.file_id)[order],
+        metadata=np.asarray(inputs.metadata)[order],
+        wavelength=np.asarray(inputs.wavelength)[order],
+        harmonic_id=np.asarray(inputs.harmonic_id)[order],
+    )
+    model, params = make_model(scrambled, n_refl, n_images,
+                               laue_lik.NormalLikelihood(), "hybrid")
+    # baseline and planned share row order (per-row MC noise is assigned by
+    # row index, so only the plans may differ for an exact comparison);
+    # sorted-vs-scrambled math equality is covered by the convolve parity
+    # tests and test_sorted_by_harmonic_preserves_group_packing
+    base = scrambled.sorted_by_harmonic()
+    planned = base.with_plans(n_refl, n_images)
+    assert planned.plans is not None and planned.plans.harmonic is not None
+    key = jax.random.PRNGKey(7)
+
+    (l0, m0), g0 = jax.value_and_grad(model.elbo, has_aux=True)(
+        params, key, base)
+    (l1, m1), g1 = jax.value_and_grad(model.elbo, has_aux=True)(
+        params, key, planned)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(k))
+
+
+def test_sorted_by_harmonic_preserves_group_packing(rng):
+    inputs, _, _ = synthetic_inputs(rng, n_obs=40, laue=True)
+    order = np.random.default_rng(5).permutation(40)
+    scrambled = inputs._replace(
+        refl_id=np.asarray(inputs.refl_id)[order],
+        image_id=np.asarray(inputs.image_id)[order],
+        file_id=np.asarray(inputs.file_id)[order],
+        metadata=np.asarray(inputs.metadata)[order],
+        wavelength=np.asarray(inputs.wavelength)[order],
+        harmonic_id=np.asarray(inputs.harmonic_id)[order],
+    )
+    s = scrambled.sorted_by_harmonic()
+    hid = np.asarray(s.harmonic_id)
+    assert (hid[1:] >= hid[:-1]).all()
+    # group-indexed fields must NOT be row-reordered
+    np.testing.assert_array_equal(np.asarray(s.intensities),
+                                  np.asarray(scrambled.intensities))
+    np.testing.assert_array_equal(np.asarray(s.uncertainties),
+                                  np.asarray(scrambled.uncertainties))
+    # per-row fields travel with their row
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(s.refl_id)), np.sort(np.asarray(scrambled.refl_id)))

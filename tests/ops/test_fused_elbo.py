@@ -155,3 +155,79 @@ def test_fused_fallback_for_laue(rng):
     assert not fused_model._fused_eligible(inputs)
     loss, _ = fused_model.elbo(params, jax.random.PRNGKey(0), inputs)
     assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# StudentT pointwise chain (fused eligibility extension, BASELINE config 2)
+# ---------------------------------------------------------------------------
+def reference_studentt_ll_sum(loc, scale, a_tab, z_f, refl_id, image_id,
+                              iobs, sig, mask, noise, dof):
+    import jax.scipy.stats as jstats
+    a = a_tab[image_id]
+    z = a * loc + jnp.abs(a) * scale * noise
+    F = z_f[refl_id]
+    ipred = z * F * F
+    ll = jstats.t.logpdf(ipred, dof, loc=iobs, scale=sig)
+    return jnp.sum(mask * ll)
+
+
+@pytest.mark.parametrize("dof", [4.0, 16.0])
+def test_studentt_forward_parity(problem, dof):
+    loc, scale, a_tab, z_f, refl_id, image_id, iobs, sig, mask, noise = problem
+    fused = fused_likelihood_sum(loc, scale, a_tab, z_f, refl_id, image_id,
+                                 iobs, sig, mask, seed=0, noise=noise,
+                                 kind="studentt", dof=dof)
+    ref = reference_studentt_ll_sum(*[jnp.asarray(x) for x in problem], dof)
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+
+def test_studentt_gradient_parity(problem):
+    loc, scale, a_tab, z_f, refl_id, image_id, iobs, sig, mask, noise = problem
+    dof = 4.0
+
+    def f_fused(loc, scale, a_tab, z_f):
+        return fused_likelihood_sum(loc, scale, a_tab, z_f, refl_id,
+                                    image_id, iobs, sig, mask, seed=0,
+                                    noise=noise, kind="studentt", dof=dof)
+
+    def f_ref(loc, scale, a_tab, z_f):
+        return reference_studentt_ll_sum(loc, scale, a_tab, z_f, refl_id,
+                                         image_id, iobs, sig, mask, noise,
+                                         dof)
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3))(loc, scale, a_tab, z_f)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(
+        *[jnp.asarray(x) for x in (loc, scale, a_tab, z_f)])
+    for a, b, name in zip(g_fused, g_ref, ["dloc", "dscale", "da", "dzf"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_studentt_fused_elbo_matches_xla_path(rng):
+    from careless_tpu.models.likelihoods.mono import StudentTLikelihood
+    inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=300)
+    inputs = inputs.sorted_by_refl().with_plans(n_refl, n_images)
+    model, params = make_model(inputs, n_refl, n_images,
+                               StudentTLikelihood(4.0),
+                               scaler_kind="hybrid")
+    fused_model = model.__class__(**{**model.__dict__, "fused_kernel": True})
+    assert fused_model._fused_eligible(inputs)
+
+    key = jax.random.PRNGKey(0)
+    noise = rng.normal(size=inputs.n_obs).astype(np.float32)
+    loss_fused, m_fused = fused_model._elbo_fused(params, key, inputs,
+                                                  noise=jnp.asarray(noise))
+
+    # reference path with the same z_f sample and the same eps
+    k_f, k_s = jax.random.split(key)
+    q = model.posterior.distribution(params["posterior"])
+    z_f = q.sample(k_f, (1,))[0]
+    mlp_dist = model.scaler.mlp.apply(params["scaler"]["mlp"], inputs)
+    a = model.scaler.image.scales(params["scaler"]["image"])[inputs.image_id]
+    z = a * mlp_dist.loc + jnp.abs(a) * mlp_dist.scale * noise
+    ipred = z * jnp.square(z_f[inputs.refl_id])
+    lik = model.likelihood.build({}, inputs)
+    ll = lik.log_prob(ipred)
+    nll = -jnp.sum(ll)
+    kl = jnp.sum(q.log_prob(z_f) - model.prior.log_prob(z_f))
+    np.testing.assert_allclose(float(loss_fused), float(nll + kl), rtol=1e-5)

@@ -135,3 +135,71 @@ def test_plans_are_jit_safe_pytrees(rng):
     a = float(f(table, plan))
     b = float(jnp.sum(jnp.take(table, jnp.asarray(ids))))
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# plan_convolve: the planned duplicate-index scatter-add (Laue harmonic
+# convolution, models/likelihoods/laue.py)
+# ---------------------------------------------------------------------------
+from careless_tpu.ops.plan_gather import plan_convolve  # noqa: E402
+
+
+@pytest.mark.parametrize("sort", [True, False])
+def test_plan_convolve_forward_parity(sort, rng):
+    n = 4000
+    ids = rng.integers(0, n // 3, n)  # group ids < n (same-length table)
+    if sort:
+        ids = np.sort(ids)
+    ids = ids.astype(np.int32)
+    v = rng.normal(size=n).astype(np.float32)
+    plan = make_gather_plan(ids, n)
+    out = np.asarray(plan_convolve(jnp.asarray(v), jnp.asarray(ids), plan))
+    expect = np.zeros(n, np.float64)
+    np.add.at(expect, ids, v.astype(np.float64))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+    # fallback (no plan) must agree too
+    out0 = np.asarray(plan_convolve(jnp.asarray(v), jnp.asarray(ids), None))
+    np.testing.assert_allclose(out0, expect, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("sort", [True, False])
+def test_plan_convolve_gradient_parity(sort, rng):
+    """Backward = gather of the cotangent by ids (windowed kernel when the
+    plan has windows); must match the autodiff of the XLA scatter-add."""
+    n = 2000
+    ids = rng.integers(0, n // 2, n)
+    if sort:
+        ids = np.sort(ids)
+    ids = ids.astype(np.int32)
+    v = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    plan = make_gather_plan(ids, n)
+
+    def f_plan(val):
+        return jnp.sum(plan_convolve(val, jnp.asarray(ids), plan) * w)
+
+    def f_ref(val):
+        return jnp.sum(jnp.zeros_like(val).at[jnp.asarray(ids)].add(val) * w)
+
+    g_plan = np.asarray(jax.grad(f_plan)(v))
+    g_ref = np.asarray(jax.grad(f_ref)(v))
+    np.testing.assert_allclose(g_plan, g_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_plan_convolve_batched(rng):
+    n = 1024
+    ids = np.sort(rng.integers(0, n // 4, n)).astype(np.int32)
+    v = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+    plan = make_gather_plan(ids, n)
+    out = np.asarray(plan_convolve(v, jnp.asarray(ids), plan))
+    for s in range(3):
+        expect = np.zeros(n, np.float64)
+        np.add.at(expect, ids, np.asarray(v[s], np.float64))
+        np.testing.assert_allclose(out[s], expect, rtol=1e-4, atol=1e-4)
+    # gradient through the batched forward (backward = batched gather)
+    g = jax.grad(lambda val: jnp.sum(
+        plan_convolve(val, jnp.asarray(ids), plan) ** 2))(v)
+    g_ref = jax.grad(lambda val: jnp.sum(
+        jnp.zeros_like(val).at[..., jnp.asarray(ids)].add(val) ** 2))(v)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)

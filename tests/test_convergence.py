@@ -33,7 +33,8 @@ def test_converged_cchalf(converged_run, tmp_path):
         [converged_run + "_xval_0.mtz", "-m", "pearson", "--overall",
          "-b", "1", "-o", str(tmp_path / "cchalf.csv")]))
     cc = float(res["CChalf"].iloc[0])
-    assert cc > 0.5, f"converged CC1/2 too low: {cc}"
+    # measured: ~0.74 (rounds 2-3, seed 1234); floor leaves drift margin
+    assert cc > 0.6, f"converged CC1/2 too low: {cc} (measured ~0.74)"
 
 
 @pytest.mark.slow
@@ -44,10 +45,13 @@ def test_converged_ccpred(converged_run, tmp_path):
          "-o", str(tmp_path / "ccpred.csv")]))
     train_cc = float(res.loc[res["test"] == "Train", "CCpred"].iloc[0])
     test_cc = float(res.loc[res["test"] == "Test", "CCpred"].iloc[0])
-    assert train_cc > 0.8, f"converged train CCpred too low: {train_cc}"
+    # measured: ~0.93 train (rounds 2-3, seed 1234)
+    assert train_cc > 0.85, \
+        f"converged train CCpred too low: {train_cc} (measured ~0.93)"
     # the 10% test split of this tiny dataset is noisy; require it exists
-    # and is not anti-correlated
-    assert np.isfinite(test_cc) and test_cc > -0.2, test_cc
+    # and is positively correlated
+    assert np.isfinite(test_cc) and test_cc > 0.0, \
+        f"test CCpred not positive: {test_cc}"
 
 
 @pytest.mark.slow
