@@ -26,6 +26,17 @@ args_and_kwargs = (
         "type": int,
         "default": 1,
     }),
+    (("--xval-mode",), {
+        "help": "How to execute half-dataset crossvalidation. 'parallel' "
+                "(default) trains all 2 x repeats halves concurrently in "
+                "one vmapped computation, sharded over the device mesh "
+                "when --num-devices is set; 'serial' trains them one after "
+                "another (the reference's loop). Both use identical per-"
+                "half RNG and produce the same merged halves.",
+        "type": str,
+        "default": "parallel",
+        "choices": ["parallel", "serial"],
+    }),
     (("--validation-frequency",), {
         "help": "During training, how frequently to evaluate the model on "
                 "the test set (integer >= 1, default 10).",

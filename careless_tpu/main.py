@@ -112,7 +112,62 @@ def run_careless(parser):
 
 def run_half_dataset_crossvalidation(dm, trained_params, parser, progress):
     """Half-dataset merging with the scaling model frozen
-    (reference careless.py:102-128)."""
+    (reference careless.py:102-128).
+
+    TPU-native: the 2 x repeats half-trainings are embarrassingly parallel
+    (SURVEY.md §5.8), so the default 'parallel' mode trains all of them in
+    one vmapped computation (sharded over the mesh with --num-devices);
+    'serial' reproduces the reference's loop (same RNG, same results)."""
+    if getattr(parser, "xval_mode", "parallel") != "serial":
+        return _run_xval_parallel(dm, trained_params, parser, progress)
+    return _run_xval_serial(dm, trained_params, parser, progress)
+
+
+def _run_xval_parallel(dm, trained_params, parser, progress):
+    import jax
+
+    from .parallel.xval import make_half_keys, stack_halves, train_halves
+    from .xtal import write_mtz
+
+    halves = []
+    for _ in range(parser.half_dataset_repeats):
+        halves.extend(dm.split_data_by_image())
+
+    model, params, trainer = dm.build_model()
+    params["scaler"] = trained_params["scaler"]
+    trainer = type(trainer)(**{**trainer.__dict__, "freeze": ("scaler",)})
+    # same row order as the serial path's _shard_inputs (per-row MC noise
+    # is assigned by row index, so this keeps parallel == serial exactly)
+    stacked = stack_halves([
+        h.sorted_by_harmonic() if h.is_laue else h.sorted_by_refl()
+        for h in halves])
+    half_keys = make_half_keys(parser.seed, parser.half_dataset_repeats)
+    trained = train_halves(
+        trainer, params, half_keys, stacked, parser.iterations,
+        chunk_size=parser.steps_per_compile,
+        num_devices=parser.num_devices, progress=progress,
+        message=f"Merging {len(halves)} halves in parallel")
+
+    xval_data = [None] * len(dm.asu_collection)
+    for k, half in enumerate(halves):
+        repeat, half_id = divmod(k, 2)
+        params_k = jax.tree.map(lambda x: x[k], trained)
+        posterior_dist = model.posterior.distribution(params_k["posterior"])
+        for file_id, ds in enumerate(dm.get_results(posterior_dist,
+                                                    inputs=half)):
+            ds["repeat"] = np.int32(repeat)
+            ds["half"] = np.int32(half_id)
+            ds.mtz_dtypes.update({"repeat": "I", "half": "I"})
+            if xval_data[file_id] is None:
+                xval_data[file_id] = ds
+            else:
+                xval_data[file_id] = _concat_predictions(
+                    xval_data[file_id], ds)
+    for file_id, ds in enumerate(xval_data):
+        write_mtz(ds, parser.output_base + f"_xval_{file_id}.mtz")
+
+
+def _run_xval_serial(dm, trained_params, parser, progress):
     import jax
 
     from .xtal import write_mtz

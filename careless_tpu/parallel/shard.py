@@ -26,12 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.base import Inputs
 
 
-def make_mesh(num_devices: int, devices=None) -> Mesh:
+def make_mesh(num_devices: int, devices=None, axis_name: str = "obs") -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if num_devices > len(devices):
         raise ValueError(
             f"requested {num_devices} devices but only {len(devices)} available")
-    return Mesh(np.array(devices[:num_devices]), ("obs",))
+    return Mesh(np.array(devices[:num_devices]), (axis_name,))
 
 
 def pad_inputs_to_multiple(inputs: Inputs, multiple: int) -> Inputs:
