@@ -57,11 +57,13 @@ HBM_GBPS = {
 
 
 def build_problem(n_obs, n_refl, n_images=2000, d_meta=10, seed=0,
-                  fused=False, mlp_dtype="float32"):
+                  fused=False, mlp_dtype="float32", mlp_width=10,
+                  laue=False, likelihood="normal", plans=True):
     import jax
 
     from careless_tpu.models.base import Inputs
-    from careless_tpu.models.likelihoods.mono import NormalLikelihood
+    from careless_tpu.models.likelihoods import laue as laue_lik
+    from careless_tpu.models.likelihoods import mono as mono_lik
     from careless_tpu.models.merging.surrogate import TruncatedNormalPosterior
     from careless_tpu.models.merging.variational import (Trainer,
                                                          VariationalMergingModel)
@@ -78,20 +80,41 @@ def build_problem(n_obs, n_refl, n_images=2000, d_meta=10, seed=0,
     iobs = scale_true * f_true[refl_id] ** 2
     iobs = iobs + 0.1 * np.sqrt(np.abs(iobs)) * rng.normal(size=n_obs)
     sig = np.full(n_obs, 0.1, np.float32)
+    kwargs = {}
+    if laue:
+        # harmonic groups as contiguous runs of 1-3 observations (the
+        # group-sorted production layout): ~2 obs/group on average, the
+        # shape of a pink-beam Laue experiment (BASELINE config 3)
+        sizes = rng.integers(1, 4, n_obs)
+        hid = np.repeat(np.arange(len(sizes)), sizes)[:n_obs]
+        n_groups = int(hid[-1]) + 1
+        grouped = np.zeros(n_obs, np.float32)
+        np.add.at(grouped, hid, iobs.astype(np.float32))
+        iobs = np.concatenate([grouped[:n_groups],
+                               np.ones(n_obs - n_groups, np.float32)])
+        kwargs = dict(wavelength=np.ones(n_obs, np.float32), harmonic_id=hid)
     inputs = Inputs.from_arrays(refl_id, image_id, np.zeros(n_obs), metadata,
-                                iobs, sig)
-    # production training path: rows sorted by refl_id + gather plans
-    inputs = inputs.sorted_by_refl().with_plans(n_refl, n_images,
-                                                mlp_width=10)
+                                iobs, sig, **kwargs)
+    # production training path: sorted rows + gather plans
+    if plans:
+        if not laue:
+            inputs = inputs.sorted_by_refl()
+        inputs = inputs.with_plans(n_refl, n_images, mlp_width=mlp_width)
+
+    lik_mod = laue_lik if laue else mono_lik
+    if likelihood == "studentt":
+        lik = lik_mod.StudentTLikelihood(16.0)
+    else:
+        lik = lik_mod.NormalLikelihood()
 
     centric = rng.random(n_refl) < 0.2
     prior = WilsonPrior(centric, np.ones(n_refl, np.float32))
     posterior = TruncatedNormalPosterior(
         low=(1e-32 * ~centric).astype(np.float32))
-    # reference defaults (args/scaling.py:21-31)
-    mlp = MLPScaler(20, 10, mlp_dtype=mlp_dtype)
+    # reference defaults (args/scaling.py:21-31), width configurable
+    mlp = MLPScaler(20, mlp_width, mlp_dtype=mlp_dtype)
     scaler = HybridImageScaler(mlp, ImageScaler(n_images))
-    model = VariationalMergingModel(posterior, prior, NormalLikelihood(),
+    model = VariationalMergingModel(posterior, prior, lik,
                                     scaler, mc_samples=1, fused_kernel=fused)
     params = model.init(jax.random.PRNGKey(seed), inputs,
                         (np.asarray(prior.mean()), np.asarray(prior.stddev())))
@@ -194,6 +217,7 @@ def main():
     unfused = bench_scan(trainer_u, params_u, inputs, steps, chunk)
     ref = bench_reference_style(trainer_u, params_u, inputs, ref_steps)
 
+    extras = {}
     if on_tpu:
         _, params_f, trainer_f, inputs_f = build_problem(n_obs, n_refl,
                                                          fused=True)
@@ -201,16 +225,43 @@ def main():
         _, params_b, trainer_b, inputs_b = build_problem(
             n_obs, n_refl, fused=True, mlp_dtype="bfloat16")
         fused_bf16 = bench_scan(trainer_b, params_b, inputs_b, steps, chunk)
+
+        # BASELINE config 2 flavor: Student-t likelihood, fused
+        _, p, t, i = build_problem(n_obs, n_refl, fused=True,
+                                   likelihood="studentt")
+        extras["elbo_steps_per_s_fused_studentt"] = round(
+            bench_scan(t, p, i, steps, chunk), 2)
+
+        # bf16 width sweep (VERDICT round-2 Weak #2: find bf16's win or
+        # retire the flag — at width 10 the trunk no longer dominates)
+        for width in (64,):
+            for dt in ("float32", "bfloat16"):
+                _, p, t, i = build_problem(n_obs, n_refl, fused=True,
+                                           mlp_width=width, mlp_dtype=dt)
+                extras[f"elbo_steps_per_s_w{width}_{dt}"] = round(
+                    bench_scan(t, p, i, steps // 2, chunk), 2)
     else:
         fused = None  # interpret mode would measure the interpreter
         fused_bf16 = None
 
-    # headline: best production configuration (--fused-kernel auto,
-    # --mlp-dtype bfloat16 — quality-validated by tests/test_ground_truth.py)
+    # BASELINE config 3: Laue (poly), planned convolution vs XLA scatter.
+    # The Laue ELBO runs unfused (XLA path + planned gather/convolve).
+    laue_steps = max(steps // 2, 100)
+    _, p, t, i = build_problem(n_obs, n_refl, laue=True)
+    extras["elbo_steps_per_s_laue_planned"] = round(
+        bench_scan(t, p, i, laue_steps, chunk), 2)
+    _, p, t, i = build_problem(n_obs, n_refl, laue=True, plans=False)
+    extras["elbo_steps_per_s_laue_xla"] = round(
+        bench_scan(t, p, i, laue_steps, chunk), 2)
+
+    # headline: best production configuration on the reference-default
+    # 20x10 MLP mono-Normal workload
     best = max(x for x in (fused_bf16, fused, unfused) if x is not None)
+    # utilization is quoted for the f32 fused config ONLY (the roofline
+    # models f32 traffic; mixing bf16 could exceed 100%)
     _, sol_t = roofline(n_obs, 10, 20, 10, fused is not None, device_kind)
-    util = (round(100 * sol_t * best, 1)
-            if sol_t is not None and on_tpu else None)
+    util = (round(100 * sol_t * fused, 1)
+            if sol_t is not None and fused is not None else None)
 
     print(json.dumps({
         "metric": "observations_per_s_per_chip_1M_obs",
@@ -228,6 +279,7 @@ def main():
         "fused_speedup_vs_unfused": (None if fused is None
                                      else round(fused / unfused, 2)),
         "hbm_utilization_pct_vs_roofline": util,
+        **extras,
         "device_kind": device_kind,
         "n_obs": n_obs,
         "n_refl": n_refl,

@@ -73,6 +73,7 @@ def run_careless(parser):
             progress=progress,
             message="Training",
             chunk_size=parser.steps_per_compile,
+            mesh=mesh,
         )
 
     posterior_dist = model.posterior.distribution(params["posterior"])
@@ -181,16 +182,17 @@ def _run_xval_serial(dm, trained_params, parser, progress):
                 **trainer.__dict__, "freeze": ("scaler",)})
             # plans must be sized to the GLOBAL tables: the half lacks some
             # image ids but the frozen scaler's table is full-sized
-            half_dev, _ = _shard_inputs(half, parser.num_devices,
-                                        n_refl=dm.n_refl,
-                                        n_images=dm.n_images,
-                                        mlp_width=dm.mlp_width)
+            half_dev, half_mesh = _shard_inputs(half, parser.num_devices,
+                                                n_refl=dm.n_refl,
+                                                n_images=dm.n_images,
+                                                mlp_width=dm.mlp_width)
             key = jax.random.PRNGKey(parser.seed + 7919 * (2 * repeat + half_id + 1))
             params, _ = trainer.train(
                 params, key, half_dev, parser.iterations,
                 message=f"Merging repeat {repeat + 1} half {half_id + 1}",
                 progress=progress,
                 chunk_size=parser.steps_per_compile,
+                mesh=half_mesh,
             )
             posterior_dist = model.posterior.distribution(params["posterior"])
             for file_id, ds in enumerate(
@@ -243,7 +245,8 @@ def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None,
                                        mlp_width=mlp_width)
         return inputs, None
     from .parallel.shard import shard_inputs_over_mesh
-    return shard_inputs_over_mesh(inputs, num_devices)
+    return shard_inputs_over_mesh(inputs, num_devices, n_refl=n_refl,
+                                  n_images=n_images, mlp_width=mlp_width)
 
 
 if __name__ == "__main__":

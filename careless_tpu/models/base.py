@@ -45,6 +45,12 @@ class Inputs(NamedTuple):
     harmonic_id: Optional[Array] = None   # (N,) int32, Laue only
     mask: Optional[Array] = None          # (N,) f32, 0 on shard-padding rows
     plans: Optional[GatherPlans] = None   # static gather-transpose plans
+    # per-shard plans, each field stacked on a leading n_shards axis and
+    # sharded over the mesh (parallel/shard.py). Consumed ONLY by the
+    # shard_map training path (variational.py); the plain elbo ignores it,
+    # so jit-ing the model directly on sharded inputs still works (XLA
+    # auto-SPMD fallback).
+    shard_plans: Optional[GatherPlans] = None
 
     @property
     def is_laue(self) -> bool:
@@ -68,13 +74,16 @@ class Inputs(NamedTuple):
             kwargs["plans"] = None
         return self._replace(**kwargs)
 
+    # number of trailing derived-plan fields (plans, shard_plans)
+    _N_PLAN_FIELDS = 2
+
     def select(self, mask_or_idx) -> "Inputs":
         """Row-select every per-observation array (host-side numpy only).
         Gather plans are derived data and are dropped (recompute via
         with_plans after subsetting)."""
         def take(x):
             return None if x is None else np.asarray(x)[mask_or_idx]
-        return Inputs(*[take(x) for x in self[:-1]], None)
+        return Inputs(*[take(x) for x in self[:-self._N_PLAN_FIELDS]])
 
     def sorted_by_refl(self) -> "Inputs":
         """Stable-sort rows by refl_id (host-side numpy). Training-path

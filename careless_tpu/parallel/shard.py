@@ -17,13 +17,14 @@ BASELINE.json north star:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from dataclasses import replace as dc_replace
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.base import Inputs
+from ..models.base import GatherPlans, Inputs
 
 
 def make_mesh(num_devices: int, devices=None, axis_name: str = "obs") -> Mesh:
@@ -37,9 +38,11 @@ def make_mesh(num_devices: int, devices=None, axis_name: str = "obs") -> Mesh:
 def pad_inputs_to_multiple(inputs: Inputs, multiple: int) -> Inputs:
     """Pad per-observation arrays so N % multiple == 0.
 
-    Padding rows: refl_id 0, image_id 0, intensities/uncertainties 1 (the
-    Laue padding convention, reference formatter.py:639-640), own fresh
-    harmonic groups, and mask 0.
+    Padding rows: refl_id repeats the last row's id (preserves sortedness
+    for the per-shard gather plans; their gradient contribution is exactly
+    zero because mask=0 zeroes the likelihood), image_id 0, intensities/
+    uncertainties 1 (the Laue padding convention, reference
+    formatter.py:639-640), own fresh harmonic groups, and mask 0.
     """
     n = inputs.n_obs
     pad = (-n) % multiple
@@ -54,6 +57,8 @@ def pad_inputs_to_multiple(inputs: Inputs, multiple: int) -> Inputs:
             np.asarray(x), np.full((pad,) + np.shape(x)[1:], value,
                                    dtype=np.asarray(x).dtype)])
 
+    refl_pad_value = int(np.asarray(inputs.refl_id)[-1]) if n > 0 else 0
+
     harmonic_id = inputs.harmonic_id
     if harmonic_id is not None:
         hid = np.asarray(harmonic_id)
@@ -62,7 +67,7 @@ def pad_inputs_to_multiple(inputs: Inputs, multiple: int) -> Inputs:
             hid, hid.max() + 1 + np.arange(pad, dtype=hid.dtype)])
 
     return Inputs(
-        refl_id=pad1(inputs.refl_id, 0),
+        refl_id=pad1(inputs.refl_id, refl_pad_value),
         image_id=pad1(inputs.image_id, 0),
         file_id=pad1(inputs.file_id, 0),
         metadata=pad1(inputs.metadata, 0.0),
@@ -160,23 +165,135 @@ def _laue_group_aligned_order(inputs: Inputs, num_shards: int) -> Inputs:
     )
 
 
-def shard_inputs_over_mesh(inputs: Inputs, num_devices: int, devices=None
+def _stack_gather_plans(plans: List, n_local: int):
+    """Stack per-shard GatherPlans into one plan whose data fields carry a
+    leading n_shards axis, with UNIFORM static meta (window/hist) — the
+    shard_map body is one program, so every shard must take the same
+    branch. Mixed kernel/no-kernel shards degrade uniformly to the XLA
+    forward (window 0); the planned backward always survives."""
+    from ..ops.plan_gather import GatherPlan
+
+    if any(p.perm is not None for p in plans):
+        perm = np.stack([
+            np.asarray(p.perm) if p.perm is not None
+            else np.arange(n_local, dtype=np.int32) for p in plans])
+    else:
+        perm = None
+    starts = np.stack([np.asarray(p.starts) for p in plans])
+    ends = np.stack([np.asarray(p.ends) for p in plans])
+
+    windows = [p.window for p in plans]
+    if all(w > 0 for w in windows) and all(
+            p.ids2d is not None for p in plans):
+        window = max(windows)
+        ids2d = np.stack([np.asarray(p.ids2d) for p in plans])
+        # re-clamp bases for the unified (possibly larger) window: coverage
+        # [base, base+window) still contains each tile's id range because
+        # base only moves down
+        bases = []
+        for p in plans:
+            t_rows = -(-p.starts.shape[0] // 128)
+            bases.append(np.minimum(np.asarray(p.bases),
+                                    max(t_rows - window, 0)).astype(np.int32))
+        bases = np.stack(bases)
+    else:
+        window, ids2d, bases = 0, None, None
+    hist = all(p.hist for p in plans) and ids2d is not None
+    return GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
+                      bases=bases, window=window, hist=hist)
+
+
+def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
+                     n_images: int, mlp_width: Optional[int]
+                     ) -> GatherPlans:
+    """Build per-shard gather plans (leading axis n_shards) for the
+    shard_map training path. `inputs` is the already-laid-out global array
+    set (mono: refl-sorted + padded; Laue: group-aligned), whose length is
+    a multiple of num_shards."""
+    from ..ops.fused_mlp import PackedMeta, pack_metadata
+    from ..ops.plan_gather import make_gather_plan
+
+    n = inputs.n_obs
+    assert n % num_shards == 0, (n, num_shards)
+    w = n // num_shards
+    refl_id = np.asarray(inputs.refl_id)
+    image_id = np.asarray(inputs.image_id)
+    metadata = np.asarray(inputs.metadata)
+    hid = (np.asarray(inputs.harmonic_id) if inputs.is_laue else None)
+
+    refl_plans, image_plans, harm_plans, metas = [], [], [], []
+    for s in range(num_shards):
+        lo, hi = s * w, (s + 1) * w
+        refl_plans.append(make_gather_plan(refl_id[lo:hi], n_refl))
+        image_plans.append(make_gather_plan(image_id[lo:hi], n_images))
+        if hid is not None:
+            # shard-local group ids (the layout offsets groups by s * w)
+            harm_plans.append(make_gather_plan(hid[lo:hi] - lo, w))
+        if mlp_width is not None:
+            metas.append(pack_metadata(metadata[lo:hi], mlp_width))
+
+    meta = None
+    if metas:
+        meta = PackedMeta(
+            x2d=np.stack([m.x2d for m in metas]),
+            n=metas[0].n, d_in=metas[0].d_in,
+            d_slot=metas[0].d_slot, group=metas[0].group)
+    return GatherPlans(
+        refl=_stack_gather_plans(refl_plans, w),
+        image=_stack_gather_plans(image_plans, w),
+        meta=meta,
+        harmonic=(_stack_gather_plans(harm_plans, w) if harm_plans
+                  else None))
+
+
+def prepare_sharded_layout(inputs: Inputs, num_shards: int) -> Inputs:
+    """The global array layout the sharded path trains on: mono inputs are
+    refl-sorted (tight per-shard gather windows) and padded to a multiple
+    of num_shards; Laue inputs are harmonic-group-aligned per shard. Used
+    by shard_inputs_over_mesh and by the shard-invariance tests (the
+    1-device reference must see the SAME layout so per-row MC noise
+    matches)."""
+    inputs = inputs._replace(plans=None, shard_plans=None)
+    if inputs.is_laue:
+        return _laue_group_aligned_order(inputs, num_shards)
+    if inputs.n_obs > 1:
+        rid = np.asarray(inputs.refl_id)
+        if not bool(np.all(rid[1:] >= rid[:-1])):
+            inputs = inputs.sorted_by_refl()
+    return pad_inputs_to_multiple(inputs, num_shards)
+
+
+def shard_inputs_over_mesh(inputs: Inputs, num_devices: int, devices=None,
+                           *, n_refl: Optional[int] = None,
+                           n_images: Optional[int] = None,
+                           mlp_width: Optional[int] = None
                            ) -> Tuple[Inputs, Mesh]:
     """Place the packed inputs on an 'obs'-sharded mesh; returns the
-    device-resident Inputs and the mesh."""
+    device-resident Inputs and the mesh.
+
+    When the global table sizes are supplied, per-shard gather plans are
+    attached as `shard_plans` (leading axis = shard), keeping the planned
+    gathers/scatters and the fused Pallas kernels alive inside the
+    shard_map training path — without them, every fast path degraded to
+    element-serialized XLA gathers (the round-2 multi-chip regression)."""
     mesh = make_mesh(num_devices, devices)
-    # gather plans are global-index derived data; they do not survive
-    # padding/resharding (the sharded path uses the XLA scatter transpose)
-    inputs = inputs._replace(plans=None)
-    if inputs.is_laue:
-        inputs = _laue_group_aligned_order(inputs, num_devices)
-    else:
-        inputs = pad_inputs_to_multiple(inputs, num_devices)
+    inputs = prepare_sharded_layout(inputs, num_devices)
+    if n_refl is not None and n_images is not None:
+        inputs = inputs._replace(shard_plans=_per_shard_plans(
+            inputs, num_devices, n_refl, n_images, mlp_width))
     sharding = NamedSharding(mesh, P("obs"))
 
-    def put(x):
+    def put_rows(x):
         if x is None:
             return None
         return jax.device_put(np.asarray(x), sharding)
 
-    return Inputs(*[put(x) for x in inputs]), mesh
+    def put_stacked(x):
+        # plan leaves carry the shard axis first; trailing dims replicated
+        spec = P(*(("obs",) + (None,) * (np.ndim(x) - 1)))
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
+
+    shard_plans = (None if inputs.shard_plans is None else jax.tree.map(
+        put_stacked, inputs.shard_plans))
+    data = Inputs(*[put_rows(x) for x in inputs[:-Inputs._N_PLAN_FIELDS]])
+    return data._replace(shard_plans=shard_plans), mesh

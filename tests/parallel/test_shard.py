@@ -1,33 +1,39 @@
 """Shard-invariance tests on the virtual 8-device CPU mesh (SURVEY.md §4):
-the N-device ELBO/gradients must equal the 1-device result."""
+the N-device ELBO/gradients must equal the 1-device result — for BOTH the
+XLA auto-SPMD fallback (no plans) and the shard_map fast path (per-shard
+plans, variational.elbo_sharded)."""
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from careless_tpu.parallel.shard import (pad_inputs_to_multiple,
+                                         prepare_sharded_layout,
                                          shard_inputs_over_mesh)
 
 import sys
 sys.path.insert(0, "/root/repo")
 from __graft_entry__ import _tiny_problem, dryrun_multichip  # noqa: E402
 
+N_REFL, N_IMAGES, D_META = 48, 6, 5  # _tiny_problem table sizes
+
 
 @pytest.mark.parametrize("laue", [False, True])
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_elbo_shard_invariance(laue, n_devices):
+    """Auto-SPMD fallback: jit of the plain elbo over sharded arrays."""
     model, params, trainer, inputs = _tiny_problem(n_obs=203, laue=laue)
     key = jax.random.PRNGKey(3)
 
-    # single-device value with the same padding/masking applied
-    if laue:
-        from careless_tpu.parallel.shard import _laue_group_aligned_order
-        padded = _laue_group_aligned_order(inputs, n_devices)
-    else:
-        padded = pad_inputs_to_multiple(inputs, n_devices)
+    # single-device value on the SAME global layout (row order fixes the
+    # per-row MC noise assignment)
+    padded = prepare_sharded_layout(inputs, n_devices)
     loss_1dev, m1 = jax.jit(model.elbo)(params, key, padded)
 
     sharded, mesh = shard_inputs_over_mesh(inputs, n_devices)
+    assert sharded.shard_plans is None
     loss_ndev, mn = jax.jit(model.elbo)(params, key, sharded)
     np.testing.assert_allclose(np.asarray(loss_1dev), np.asarray(loss_ndev),
                                rtol=1e-5)
@@ -37,6 +43,57 @@ def test_elbo_shard_invariance(laue, n_devices):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gn)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("laue", [False, True])
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_elbo_shard_map_path_invariance(laue, n_devices):
+    """shard_map fast path (per-shard plans) == plain elbo on the same
+    layout, values AND gradients."""
+    model, params, trainer, inputs = _tiny_problem(n_obs=203, laue=laue)
+    key = jax.random.PRNGKey(3)
+    layout = prepare_sharded_layout(inputs, n_devices)
+    loss_1dev, _ = jax.jit(model.elbo)(params, key, layout)
+
+    sharded, mesh = shard_inputs_over_mesh(
+        inputs, n_devices, n_refl=N_REFL, n_images=N_IMAGES)
+    assert sharded.shard_plans is not None
+    f = jax.jit(functools.partial(model.elbo_sharded, mesh=mesh))
+    loss_ndev, _ = f(params, key, sharded)
+    np.testing.assert_allclose(np.asarray(loss_1dev), np.asarray(loss_ndev),
+                               rtol=1e-5)
+
+    g1 = jax.jit(jax.grad(lambda p: model.elbo(p, key, layout)[0]))(params)
+    gn = jax.jit(jax.grad(
+        lambda p: model.elbo_sharded(p, key, sharded, mesh)[0]))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_kernel_shard_map_invariance():
+    """Fused Pallas likelihood + fused MLP trunk under shard_map (interpret
+    mode feeds the same XLA eps the unsharded path uses) == plain elbo."""
+    model, params, trainer, inputs = _tiny_problem(n_obs=300, laue=False)
+    fused_model = model.__class__(**{**model.__dict__, "fused_kernel": True,
+                                     "mc_samples": 1})
+    model = model.__class__(**{**model.__dict__, "mc_samples": 1})
+    key = jax.random.PRNGKey(7)
+    layout = prepare_sharded_layout(inputs, 4)
+    loss_1dev, _ = jax.jit(model.elbo)(params, key, layout)
+    sharded, mesh = shard_inputs_over_mesh(
+        inputs, 4, n_refl=N_REFL, n_images=N_IMAGES, mlp_width=8)
+    assert sharded.shard_plans.meta is not None
+    loss_ndev, _ = jax.jit(functools.partial(
+        fused_model.elbo_sharded, mesh=mesh))(params, key, sharded)
+    np.testing.assert_allclose(np.asarray(loss_1dev), np.asarray(loss_ndev),
+                               rtol=1e-5)
+    g1 = jax.jit(jax.grad(lambda p: model.elbo(p, key, layout)[0]))(params)
+    gn = jax.jit(jax.grad(
+        lambda p: fused_model.elbo_sharded(p, key, sharded, mesh)[0]))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("laue", [False, True])
@@ -82,12 +139,17 @@ def test_dryrun_multichip_8():
 
 
 def test_training_on_mesh_matches_single_device():
+    """Full scan-chunked training through the shard_map fast path == the
+    single-device planned path, 30 steps."""
     model, params, trainer, inputs = _tiny_problem(n_obs=160, laue=False)
     key = jax.random.PRNGKey(9)
-    padded = pad_inputs_to_multiple(inputs, 8)
-    p1, h1 = trainer.train(dict(params), key, padded, steps=30, progress=False)
-    sharded, _ = shard_inputs_over_mesh(inputs, 8)
-    p8, h8 = trainer.train(dict(params), key, sharded, steps=30, progress=False)
+    layout = prepare_sharded_layout(inputs, 8)
+    p1, h1 = trainer.train(dict(params), key, layout, steps=30,
+                           progress=False)
+    sharded, mesh = shard_inputs_over_mesh(
+        inputs, 8, n_refl=N_REFL, n_images=N_IMAGES)
+    p8, h8 = trainer.train(dict(params), key, sharded, steps=30,
+                           progress=False, mesh=mesh)
     np.testing.assert_allclose(h1["loss"], h8["loss"], rtol=1e-4)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -160,3 +160,39 @@ def test_mono_stream_file(tmp_path, data_dir):
     assert ds.spacegroup.n_ops == 8
     assert len(ds) > 0
     assert np.isfinite(ds["F"].to_numpy(np.float64)).all()
+
+
+# ---------------------------------------------------------------------------
+# Multi-device CLI integration (VERDICT round-2 Missing #4): the one path
+# that wires formatter -> shard -> shard_map train -> results under a mesh.
+# Runs on the virtual 8-device CPU mesh (conftest).
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("mode", ["mono", "poly"])
+def test_num_devices_cli(tmp_path, pyp_off_mtz, mode):
+    """--num-devices=4 must produce merged output statistically equal to
+    the single-device run (MC noise differs: padding changes the sampled
+    shape, so equality is within-MC-error, not bitwise)."""
+    out1 = run([mode, "dHKL,image_id", pyp_off_mtz, "--iterations=50"],
+               tmp_path, base=f"{mode}_d1")
+    out4 = run([mode, "dHKL,image_id", pyp_off_mtz, "--iterations=50",
+                "--num-devices=4"], tmp_path, base=f"{mode}_d4")
+    a = read_mtz(out1 + "_0.mtz")
+    b = read_mtz(out4 + "_0.mtz")
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a[["H", "K", "L"]], b[["H", "K", "L"]])
+    np.testing.assert_array_equal(a["N"], b["N"])
+    fa, fb = a["F"].to_numpy(np.float64), b["F"].to_numpy(np.float64)
+    assert np.corrcoef(fa, fb)[0, 1] > 0.999
+    np.testing.assert_allclose(fa, fb, rtol=0.05, atol=0.05)
+
+
+def test_num_devices_xval_cli(tmp_path, pyp_off_mtz):
+    """Sharded parallel xval end-to-end: 2 repeats x 2 halves over 4
+    devices (the halves axis shards evenly)."""
+    out = run(["mono", "dHKL,image_id", pyp_off_mtz, "--iterations=20",
+               "--num-devices=4", "--merge-half-datasets",
+               "--half-dataset-repeats=2"], tmp_path, base="xval_d4")
+    xv = read_mtz(out + "_xval_0.mtz")
+    assert set(np.unique(xv["repeat"])) == {0, 1}
+    assert set(np.unique(xv["half"])) == {0, 1}
+    assert np.isfinite(xv["F"].to_numpy(np.float64)).all()
