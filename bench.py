@@ -254,6 +254,23 @@ def main():
     extras["elbo_steps_per_s_laue_xla"] = round(
         bench_scan(t, p, i, laue_steps, chunk), 2)
 
+    if on_tpu:
+        # in-kernel PRNG statistical gate, visible in artifacts (the
+        # TPU-only pytest is always skipped on the CPU test mesh)
+        from careless_tpu.ops.fused_elbo import prng_normal_probe
+        eps = np.asarray(jax.jit(prng_normal_probe, static_argnums=1)(
+            123, 4096), np.float64)
+        m1, sd = float(eps.mean()), float(eps.std())
+        z = (eps - m1) / sd
+        kurt = float(np.mean(z ** 4))
+        extras["prng_probe"] = {
+            "n": int(eps.size), "mean": round(m1, 5), "std": round(sd, 5),
+            "kurtosis": round(kurt, 4), "max_abs": round(float(
+                np.abs(eps).max()), 3),
+            "ok": bool(abs(m1) < 0.01 and abs(sd - 1) < 0.01
+                       and abs(kurt - 3) < 0.06),
+        }
+
     # headline: best production configuration on the reference-default
     # 20x10 MLP mono-Normal workload
     best = max(x for x in (fused_bf16, fused, unfused) if x is not None)

@@ -41,6 +41,17 @@ args_and_kwargs = (
         "type": int,
         "default": 0,
     }),
+    (("--shard-axis",), {
+        "help": "Which axis --num-devices shards. 'obs' (default) splits "
+                "the observation axis (large datasets); 'mc' replicates "
+                "the data and splits the Monte-Carlo sample axis "
+                "(--mc-samples must be divisible by --num-devices; best for "
+                "large-S variance-reduction runs on datasets that fit on "
+                "one chip).",
+        "type": str,
+        "default": "obs",
+        "choices": ["obs", "mc"],
+    }),
     (("--fused-kernel",), {
         "help": "Use the fused Pallas likelihood kernel for the ELBO inner "
                 "loop when the configuration supports it (Normal likelihood "

@@ -58,7 +58,9 @@ def run_careless(parser):
 
     train_dev, mesh = _shard_inputs(train, parser.num_devices,
                                     n_refl=dm.n_refl, n_images=dm.n_images,
-                                    mlp_width=dm.mlp_width)
+                                    mlp_width=dm.mlp_width,
+                                    shard_axis=getattr(parser, "shard_axis",
+                                                       "obs"))
 
     key = jax.random.PRNGKey(parser.seed)
     progress = not parser.disable_progress_bar
@@ -221,7 +223,7 @@ def _concat_predictions(a, b):
 
 
 def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None,
-                  mlp_width=None):
+                  mlp_width=None, shard_axis="obs"):
     """Shard per-observation arrays over a 1-D device mesh ('obs' axis);
     parameters stay replicated so refl_id gathers remain device-local and
     XLA psums the gradients over ICI (SURVEY.md §5.8).
@@ -244,6 +246,22 @@ def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None,
             inputs = inputs.with_plans(n_refl, n_images,
                                        mlp_width=mlp_width)
         return inputs, None
+    if shard_axis == "mc":
+        # MC-sample-axis sharding: observations (and their single-device
+        # plans) replicated on every chip, the sample axis split by the
+        # mc-mesh step (variational.elbo_mc_sharded)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.shard import make_mesh
+        inputs, _ = _shard_inputs(inputs, 0, n_refl=n_refl,
+                                  n_images=n_images, mlp_width=mlp_width)
+        mesh = make_mesh(num_devices, axis_name="mc")
+        repl = NamedSharding(mesh, P())
+        inputs = jax.tree.map(
+            lambda x: None if x is None else jax.device_put(x, repl),
+            inputs, is_leaf=lambda x: x is None)
+        return inputs, mesh
     from .parallel.shard import shard_inputs_over_mesh
     return shard_inputs_over_mesh(inputs, num_devices, n_refl=n_refl,
                                   n_images=n_images, mlp_width=mlp_width)

@@ -367,6 +367,128 @@ class VariationalMergingModel:
             metrics.update(prior.metrics())
         return loss, metrics
 
+    def elbo_mc_sharded(self, params: dict, key, inputs: Inputs, mesh
+                        ) -> Tuple[Array, Dict]:
+        """Negative ELBO with the MC-sample axis sharded over the mesh
+        (SURVEY.md §5.8: "S independent samples are embarrassingly
+        parallel; shard S for large-S or variance-reduction runs").
+
+        Layout: observations replicated (single-device plans stay fully
+        usable, including the Pallas kernels), z_f (S, n_refl) and the
+        per-row noise (S, N) split on the sample axis; each device scores
+        its S/D samples over the whole dataset and the sums psum over
+        'mc'. Sampling uses the same keys/global shapes as the unsharded
+        elbo, so the result is bitwise device-count invariant."""
+        from jax import lax, shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..scaling.image import HybridImageScaler
+        from ..scaling.nn import MLPScaler
+
+        n_shards = mesh.devices.size
+        if self.mc_samples % n_shards:
+            raise ValueError(
+                f"mc_samples={self.mc_samples} must divide evenly over "
+                f"{n_shards} devices for MC-axis sharding")
+        mc_local = self.mc_samples // n_shards
+        fused = (self.fused_kernel and not inputs.is_laue
+                 and inputs.plans is not None
+                 and self._fused_likelihood_kind() is not None
+                 and isinstance(self.scaler, (MLPScaler, HybridImageScaler)))
+        use_inkernel_prng = fused and jax.default_backend() == "tpu"
+
+        k_f, k_s = jax.random.split(key)
+        q = self.posterior.distribution(params["posterior"])
+        z_f = q.sample(k_f, (self.mc_samples,))            # (S, n_refl)
+        if use_inkernel_prng:
+            eps = jnp.zeros((self.mc_samples, 1), jnp.float32)
+            seed = jax.random.randint(k_s, (), 0, jnp.iinfo(jnp.int32).max)
+        else:
+            eps = jax.random.normal(
+                k_s, (self.mc_samples, inputs.n_obs), jnp.float32)
+            seed = jnp.int32(0)
+
+        data = inputs._replace(plans=None, shard_plans=None)
+        plans = inputs.plans
+        scaler_params = params["scaler"]
+        lik_params = params.get("likelihood", {})
+        model = self
+
+        def local_ll(scaler_params, lik_params, z_f, eps, seed, data, plans):
+            local = data._replace(plans=plans)
+            if fused:
+                from ...ops.fused_elbo import fused_likelihood_sum
+                if isinstance(model.scaler, HybridImageScaler):
+                    mlp_dist = model.scaler.mlp.apply(
+                        scaler_params["mlp"], local)
+                    image_scales = model.scaler.image.scales(
+                        scaler_params["image"])
+                    image_id = local.image_id
+                    image_plan = (plans.image
+                                  if image_scales.shape[0] > 1 else None)
+                else:
+                    mlp_dist = model.scaler.apply(scaler_params, local)
+                    image_scales = jnp.ones(1, jnp.float32)
+                    image_id = jnp.zeros_like(local.refl_id)
+                    image_plan = None
+                kind, dof = model._fused_likelihood_kind()
+                ll_sum = 0.0
+                for s in range(mc_local):
+                    shard_seed = (seed * 1009 + s
+                                  + lax.axis_index("mc") * (mc_local * 7))
+                    ll_sum = ll_sum + fused_likelihood_sum(
+                        mlp_dist.loc, mlp_dist.scale, image_scales, z_f[s],
+                        local.refl_id, image_id, local.intensities,
+                        local.uncertainties, local.mask,
+                        seed=shard_seed,
+                        noise=None if use_inkernel_prng else eps[s],
+                        refl_plan=plans.refl if plans is not None else None,
+                        image_plan=image_plan, kind=kind, dof=dof)
+            else:
+                scale_dist = model.scaler.apply(scaler_params, local)
+                z_scale = scale_dist.loc + scale_dist.scale * eps
+                if mc_local == 1:
+                    z_obs = plan_gather(
+                        z_f[0], local.refl_id,
+                        plans.refl if plans is not None else None)[None]
+                else:
+                    z_obs = plan_gather(
+                        z_f, local.refl_id,
+                        plans.refl if plans is not None else None)
+                ipred = z_scale * jnp.square(z_obs)
+                lik = model.likelihood.build(lik_params, local)
+                ll = lik.log_prob(ipred)
+                if local.mask is not None:
+                    ll = ll * local.mask
+                ll_sum = jnp.sum(ll)
+            return lax.psum(ll_sum, "mc")
+
+        ll_sum = shard_map(
+            local_ll, mesh=mesh,
+            in_specs=(P(), P(), P("mc"), P("mc"), P(),
+                      jax.tree.map(lambda x: P(), data),
+                      jax.tree.map(lambda x: P(), plans)),
+            out_specs=P(),
+            check_vma=False,
+        )(scaler_params, lik_params, z_f, eps, seed, data, plans)
+
+        prior = self._built_prior(params)
+        kl_sum, kl_mean = self._kl_terms(q, prior, z_f)
+        if self.kl_weight is None:
+            nll = -ll_sum / self.mc_samples
+            kl = kl_sum
+            loss = nll + kl
+        else:
+            n_eff = (jnp.sum(inputs.mask) if inputs.mask is not None
+                     else inputs.n_obs)
+            nll = -ll_sum / (self.mc_samples * n_eff)
+            kl = kl_mean
+            loss = nll + self.kl_weight * kl
+        metrics = {"loss": loss, "NLL": nll, "F KLDiv": kl}
+        if hasattr(prior, "metrics"):
+            metrics.update(prior.metrics())
+        return loss, metrics
+
     def _kl_terms(self, q, prior, z_f) -> Tuple[Array, Array]:
         """(sum, mean) of the per-reflection KL(q||prior) estimate.
 
@@ -495,7 +617,9 @@ class Trainer:
         def step(carry, key, inputs):
             from jax.flatten_util import ravel_pytree
 
-            if mesh is not None and inputs.shard_plans is not None:
+            if mesh is not None and mesh.axis_names == ("mc",):
+                elbo = partial(model.elbo_mc_sharded, mesh=mesh)
+            elif mesh is not None and inputs.shard_plans is not None:
                 elbo = partial(model.elbo_sharded, mesh=mesh)
             else:
                 elbo = model.elbo

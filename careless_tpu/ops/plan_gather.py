@@ -32,6 +32,7 @@ Usage:
 """
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -41,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 Array = jax.Array
+logger = logging.getLogger(__name__)
 
 LANES = 128
 BLOCK_OBS = 8192            # observations per kernel grid step (64 x 128)
@@ -106,6 +108,13 @@ def _plan_windows(ids, table_size: int, is_sorted: bool):
     n = len(ids)
     table_rows = -(-table_size // LANES)
     if n == 0 or table_rows > MAX_TABLE_ROWS:
+        if n > 0:
+            logger.warning(
+                "gather table too large for the windowed TPU kernel "
+                "(%d rows > %d, ~%.1fM entries): forward falls back to the "
+                "XLA dynamic gather. Consider sharding over more devices "
+                "(--num-devices) so per-shard tables fit in VMEM.",
+                table_rows, MAX_TABLE_ROWS, table_size / 1e6)
         return None, None, 0
     rows = -(-n // LANES)
     rows_pad = -(-rows // (BLOCK_OBS // LANES)) * (BLOCK_OBS // LANES)
@@ -125,6 +134,11 @@ def _plan_windows(ids, table_size: int, is_sorted: bool):
             lo = np.zeros(n_tiles, np.int64)
             window = table_rows
         else:
+            logger.warning(
+                "gather ids too spread for the windowed TPU kernel "
+                "(worst tile spans %d chunks > %d): forward falls back to "
+                "the XLA dynamic gather. Sorting observations by id keeps "
+                "windows tight.", window, MAX_WINDOW_CHUNKS)
             return None, None, 0
     # clamp so [base, base+window) stays inside the padded table
     bases = np.minimum(lo, max(table_rows - window, 0)).astype(np.int32)

@@ -154,3 +154,43 @@ def test_training_on_mesh_matches_single_device():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mc", [4, 8])
+def test_mc_axis_sharding_invariance(mc):
+    """MC-sample-axis sharding (SURVEY §5.8): sharding S over the mesh is
+    bitwise equal to the unsharded elbo (same keys, same global shapes)."""
+    from careless_tpu.parallel.shard import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, params, trainer, inputs = _tiny_problem(n_obs=160, laue=False)
+    model = model.__class__(**{**model.__dict__, "mc_samples": mc})
+    inputs = inputs.sorted_by_refl().with_plans(N_REFL, N_IMAGES)
+    key = jax.random.PRNGKey(11)
+    loss_1dev, m1 = jax.jit(model.elbo)(params, key, inputs)
+
+    mesh = make_mesh(4, axis_name="mc")
+    repl = NamedSharding(mesh, P())
+    inputs_r = jax.tree.map(
+        lambda x: None if x is None else jax.device_put(x, repl),
+        inputs, is_leaf=lambda x: x is None)
+    loss_mc, m_mc = jax.jit(functools.partial(
+        model.elbo_mc_sharded, mesh=mesh))(params, key, inputs_r)
+    np.testing.assert_allclose(np.asarray(loss_1dev), np.asarray(loss_mc),
+                               rtol=1e-5)
+    g1 = jax.jit(jax.grad(lambda p: model.elbo(p, key, inputs)[0]))(params)
+    gn = jax.jit(jax.grad(
+        lambda p: model.elbo_mc_sharded(p, key, inputs_r, mesh)[0]))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_mc_axis_sharding_rejects_indivisible():
+    from careless_tpu.parallel.shard import make_mesh
+
+    model, params, trainer, inputs = _tiny_problem(n_obs=64, laue=False)
+    model = model.__class__(**{**model.__dict__, "mc_samples": 3})
+    mesh = make_mesh(4, axis_name="mc")
+    with pytest.raises(ValueError, match="divide"):
+        model.elbo_mc_sharded(params, jax.random.PRNGKey(0), inputs, mesh)
