@@ -52,7 +52,33 @@ MAX_HIST_TABLE = 4096       # one-hot histogram backward for tables this small
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("perm", "starts", "ends", "ids2d", "bases"),
+         data_fields=("pos", "cp2d", "cp_bases"),
+         meta_fields=("cp_window",))
+@dataclass(frozen=True)
+class BoundaryPlan:
+    """Static plan for the segment-sum boundary lookups.
+
+    The backward segment sum needs the exclusive prefix sum at the T+1
+    positions p = [starts..., n]. ends[t] == starts[t+1] always (both are
+    searchsorted counts), so ONE boundary vector suffices — half the
+    gathers of the naive at(ends) - at(starts). The chunk-prefix half of
+    the two-level cumsum is additionally resolved by the windowed Pallas
+    kernel (positions are sorted, so windows are ~1 row wide); the
+    local-cumsum half stays an XLA take of T+1 elements.
+
+    pos:       (T+1,) int32 sorted boundary positions
+    cp2d/...:  windowed-gather form of pos // _CHUNK over the (m,)-sized
+               chunk-prefix table; cp_window == 0 -> XLA take fallback
+    """
+
+    pos: Array
+    cp2d: Optional[Array] = None
+    cp_bases: Optional[Array] = None
+    cp_window: int = 0
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("perm", "starts", "ends", "ids2d", "bases", "bnd"),
          meta_fields=("window", "hist"))
 @dataclass(frozen=True)
 class GatherPlan:
@@ -64,6 +90,8 @@ class GatherPlan:
     ends:   (T,) one past the last position of id t
     ids2d:  (R, 128) ids padded/tiled for the forward kernel (None = no kernel)
     bases:  (R // rows_per_tile,) int32 window base row per tile
+    bnd:    boundary plan for the segment-sum backward (None = legacy
+            at(ends) - at(starts) with 4 XLA takes)
     window: static window size in 128-entry chunks (0 = XLA forward)
     hist:   backward uses the one-hot-matmul histogram (small unsorted
             tables: MXU beats the permuted segment-sum ~3.5x, measured)
@@ -74,8 +102,20 @@ class GatherPlan:
     ends: Array
     ids2d: Optional[Array] = None
     bases: Optional[Array] = None
+    bnd: Optional[BoundaryPlan] = None
     window: int = 0
     hist: bool = False
+
+
+def make_boundary_plan(starts: np.ndarray, n: int) -> BoundaryPlan:
+    """Precompute the segment-sum boundary lookups for a sorted-id plan."""
+    pos = np.concatenate([np.asarray(starts, np.int64),
+                          [n]]).astype(np.int32)
+    m = (n + _CHUNK) // _CHUNK
+    cp_ids = (pos // _CHUNK).astype(np.int32)
+    cp2d, cp_bases, cp_window = _plan_windows(cp_ids, m, True, warn=False)
+    return BoundaryPlan(pos=pos, cp2d=cp2d, cp_bases=cp_bases,
+                        cp_window=cp_window)
 
 
 def make_gather_plan(ids, table_size: int) -> GatherPlan:
@@ -99,16 +139,17 @@ def make_gather_plan(ids, table_size: int) -> GatherPlan:
     return GatherPlan(
         perm=None if perm is None else perm,
         starts=starts, ends=ends,
-        ids2d=ids2d, bases=bases, window=window, hist=hist)
+        ids2d=ids2d, bases=bases, window=window, hist=hist,
+        bnd=make_boundary_plan(starts, n))
 
 
-def _plan_windows(ids, table_size: int, is_sorted: bool):
+def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True):
     """Per-tile window bases for the forward kernel (None triple when the
     kernel is not applicable)."""
     n = len(ids)
     table_rows = -(-table_size // LANES)
     if n == 0 or table_rows > MAX_TABLE_ROWS:
-        if n > 0:
+        if n > 0 and warn:
             logger.warning(
                 "gather table too large for the windowed TPU kernel "
                 "(%d rows > %d, ~%.1fM entries): forward falls back to the "
@@ -133,6 +174,8 @@ def _plan_windows(ids, table_size: int, is_sorted: bool):
             # small table: cover it whole from every tile
             lo = np.zeros(n_tiles, np.int64)
             window = table_rows
+        elif not warn:
+            return None, None, 0
         else:
             logger.warning(
                 "gather ids too spread for the windowed TPU kernel "
@@ -187,8 +230,12 @@ def _onehot_histogram(ct: Array, ids2d: Array, table_size: int) -> Array:
         return acc + jnp.dot(a, b, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST), ()
 
+    # unroll: the per-tile body is ~30 us of VPU+MXU work; at 100+ tiles the
+    # scan's per-iteration sequencing overhead is comparable, so let XLA
+    # software-pipeline 8 tiles at a time
     out, _ = jax.lax.scan(
-        body, jnp.zeros((t_rows, LANES), jnp.float32), (v, ii))
+        body, jnp.zeros((t_rows, LANES), jnp.float32), (v, ii),
+        unroll=min(8, v.shape[0]))
     return out.reshape(t_rows * LANES)[:table_size]
 
 
@@ -231,6 +278,32 @@ def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
         [jnp.zeros(lead + (m, 1), c_sorted.dtype), local_cs[..., :-1]],
         axis=-1).reshape(lead + (m * _CHUNK,))
 
+    bnd = plan.bnd
+    if bnd is not None:
+        # single boundary vector p = [starts..., n] (ends[t] == starts[t+1],
+        # see BoundaryPlan): ONE take of T+1 local-cumsum values...
+        local_at = jnp.take(local_excl, bnd.pos, axis=-1)
+        n_pos = bnd.pos.shape[0]
+        if bnd.cp_window > 0:
+            # ...plus a windowed-kernel resolve of the chunk-prefix half
+            # (positions sorted -> ~1-row windows; the XLA element take
+            # here costs ~6.7 ms/M elements, the kernel ~0.02)
+            from .table_gather import windowed_gather
+
+            def gather1(t):
+                return windowed_gather(t, bnd.cp2d, bnd.cp_bases,
+                                       bnd.cp_window)
+            if lead:
+                cp_flat = chunk_prefix.reshape((-1, chunk_prefix.shape[-1]))
+                cp_at = jax.vmap(lambda t: gather1(t)[:n_pos])(cp_flat)
+                cp_at = cp_at.reshape(lead + (n_pos,))
+            else:
+                cp_at = gather1(chunk_prefix)[:n_pos]
+        else:
+            cp_at = jnp.take(chunk_prefix, bnd.pos // _CHUNK, axis=-1)
+        cs_b = local_at + cp_at
+        return cs_b[..., 1:] - cs_b[..., :-1]
+
     def at(pos):  # exclusive prefix sum at pos in [0, n]
         return (jnp.take(chunk_prefix, pos // _CHUNK, axis=-1)
                 + jnp.take(local_excl, pos, axis=-1))
@@ -242,20 +315,20 @@ def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
 # XLA-forward path (batched tables / no window plan)
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _plan_gather(hist, table, ids, perm, starts, ends, ids2d):
+def _plan_gather(hist, table, ids, perm, starts, ends, ids2d, bnd):
     return jnp.take(table, ids, axis=-1)
 
 
-def _plan_gather_fwd(hist, table, ids, perm, starts, ends, ids2d):
-    return jnp.take(table, ids, axis=-1), (perm, starts, ends, ids2d)
+def _plan_gather_fwd(hist, table, ids, perm, starts, ends, ids2d, bnd):
+    return jnp.take(table, ids, axis=-1), (perm, starts, ends, ids2d, bnd)
 
 
 def _plan_gather_bwd(hist, res, ct):
-    perm, starts, ends, ids2d = res
+    perm, starts, ends, ids2d, bnd = res
     dtable = segment_sum_by_plan(
         ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                       hist=hist))
-    return dtable, None, None, None, None, None
+                       hist=hist, bnd=bnd))
+    return dtable, None, None, None, None, None, None
 
 
 _plan_gather.defvjp(_plan_gather_fwd, _plan_gather_bwd)
@@ -266,23 +339,24 @@ _plan_gather.defvjp(_plan_gather_fwd, _plan_gather_bwd)
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
-                          starts, ends):
+                          starts, ends, bnd):
     from .table_gather import windowed_gather
     return windowed_gather(table, ids2d, bases, window)[:n]
 
 
-def _windowed_fwd(window, n, hist, table, ids2d, bases, perm, starts, ends):
+def _windowed_fwd(window, n, hist, table, ids2d, bases, perm, starts, ends,
+                  bnd):
     out = _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
-                                starts, ends)
-    return out, (perm, starts, ends, ids2d)
+                                starts, ends, bnd)
+    return out, (perm, starts, ends, ids2d, bnd)
 
 
 def _windowed_bwd(window, n, hist, res, ct):
-    perm, starts, ends, ids2d = res
+    perm, starts, ends, ids2d, bnd = res
     dtable = segment_sum_by_plan(
         ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                       hist=hist))
-    return dtable, None, None, None, None, None
+                       hist=hist, bnd=bnd))
+    return dtable, None, None, None, None, None, None
 
 
 _windowed_plan_gather.defvjp(_windowed_fwd, _windowed_bwd)
@@ -296,16 +370,16 @@ _windowed_plan_gather.defvjp(_windowed_fwd, _windowed_bwd)
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _plan_convolve(window, hist, value, ids, perm, starts, ends, ids2d,
-                   bases):
+                   bases, bnd):
     return segment_sum_by_plan(
         value, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                          hist=hist))
+                          hist=hist, bnd=bnd))
 
 
 def _plan_convolve_fwd(window, hist, value, ids, perm, starts, ends, ids2d,
-                       bases):
+                       bases, bnd):
     out = _plan_convolve(window, hist, value, ids, perm, starts, ends,
-                         ids2d, bases)
+                         ids2d, bases, bnd)
     return out, (ids, ids2d, bases)
 
 
@@ -322,7 +396,7 @@ def _plan_convolve_bwd(window, hist, res, ct):
             )(ct)
     else:
         dv = jnp.take(ct, ids, axis=-1)
-    return dv, None, None, None, None, None, None
+    return dv, None, None, None, None, None, None, None
 
 
 _plan_convolve.defvjp(_plan_convolve_fwd, _plan_convolve_bwd)
@@ -341,7 +415,8 @@ def plan_convolve(value: Array, ids: Array,
     # hist is tuned for small tables; here table_size == n_obs, so the
     # cumsum path is always the right branch
     return _plan_convolve(plan.window, False, value, ids, plan.perm,
-                          plan.starts, plan.ends, plan.ids2d, plan.bases)
+                          plan.starts, plan.ends, plan.ids2d, plan.bases,
+                          plan.bnd)
 
 
 def plan_gather(table: Array, ids: Array,
@@ -356,6 +431,6 @@ def plan_gather(table: Array, ids: Array,
     if plan.window > 0 and table.ndim == 1 and ids.ndim == 1:
         return _windowed_plan_gather(
             plan.window, ids.shape[0], plan.hist, table, plan.ids2d,
-            plan.bases, plan.perm, plan.starts, plan.ends)
+            plan.bases, plan.perm, plan.starts, plan.ends, plan.bnd)
     return _plan_gather(plan.hist, table, ids, plan.perm, plan.starts,
-                        plan.ends, plan.ids2d)
+                        plan.ends, plan.ids2d, plan.bnd)

@@ -199,8 +199,32 @@ def _stack_gather_plans(plans: List, n_local: int):
     else:
         window, ids2d, bases = 0, None, None
     hist = all(p.hist for p in plans) and ids2d is not None
+
+    # boundary plans: stack when every shard has one with the windowed
+    # chunk-prefix resolve (uniform meta like the main window); otherwise
+    # degrade to the take fallback (pos alone still halves the gathers)
+    from ..ops.plan_gather import _CHUNK, BoundaryPlan
+    bnds = [p.bnd for p in plans]
+    bnd = None
+    if all(b is not None for b in bnds):
+        pos = np.stack([np.asarray(b.pos) for b in bnds])
+        cp_windows = [b.cp_window for b in bnds]
+        if all(w > 0 for w in cp_windows) and all(
+                b.cp2d is not None for b in bnds):
+            cp_window = max(cp_windows)
+            cp2d = np.stack([np.asarray(b.cp2d) for b in bnds])
+            m = (n_local + _CHUNK) // _CHUNK  # chunk-prefix table length
+            cp_rows = -(-m // 128)
+            cp_bases = np.stack([
+                np.minimum(np.asarray(b.cp_bases),
+                           max(cp_rows - cp_window, 0)).astype(np.int32)
+                for b in bnds])
+        else:
+            cp2d, cp_bases, cp_window = None, None, 0
+        bnd = BoundaryPlan(pos=pos, cp2d=cp2d, cp_bases=cp_bases,
+                           cp_window=cp_window)
     return GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                      bases=bases, window=window, hist=hist)
+                      bases=bases, window=window, hist=hist, bnd=bnd)
 
 
 def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
