@@ -32,13 +32,14 @@ def scan_time(make_body, *args, iters=ITERS):
         carry, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(iters))
         return carry
 
-    out = run(args)
-    jax.block_until_ready(out)
+    # float() readback is the only reliable sync through the axon tunnel
+    # (block_until_ready has been observed returning before remote
+    # completion on scalar results); ~5 ms D2H amortizes over iters
+    float(run(args))
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run(args)
-        jax.block_until_ready(out)
+        float(run(args))
         best = min(best, time.perf_counter() - t0)
     return best / iters * 1e3  # ms per iteration
 
@@ -80,12 +81,12 @@ def main(n_obs=1_000_000):
         return p, o, losses[-1]
 
     p0, o0, l0 = run_chunk(params, opt_state, ITERS)
-    jax.block_until_ready(l0)
+    float(l0)
     best = np.inf
     for _ in range(3):
         t0 = _t.perf_counter()
         p1, o1, l1 = run_chunk(params, opt_state, ITERS)
-        jax.block_until_ready(l1)
+        float(l1)
         best = min(best, _t.perf_counter() - t0)
     t_full = best / ITERS * 1e3
     print(f"full train step                 : {t_full:8.3f} ms")

@@ -67,8 +67,11 @@ args_and_kwargs = (
         "help": "Matmul precision of the scaling-MLP trunk. 'float32' "
                 "(default) matches the reference numerics; 'bfloat16' runs "
                 "the trunk matmuls as bf16 MXU operands with float32 "
-                "accumulation (~4x the f32 matmul rate on TPU; parameters, "
-                "activation functions and all other math stay f32).",
+                "accumulation. Measured on TPU v5e: NO throughput "
+                "difference (f32 matmuls already execute at the bf16 MXU "
+                "rate; the trunk is issue-rate-bound, see "
+                "benchmarks/PERF_NOTES.md) — kept for memory-bound wide "
+                "trunks and cross-generation portability.",
         "type": str,
         "default": "float32",
         "choices": ["float32", "bfloat16"],

@@ -17,8 +17,13 @@ This kernel runs the ENTIRE trunk in one pallas_call per direction:
   observations' layer;
 - all L padded weights live in VMEM for the whole grid (L x 64 KB);
 - the backward kernel recomputes the forward activations in VMEM (they
-  never touch HBM) and accumulates dW/db across grid steps in the output
-  block, emitting dx per block.
+  never touch HBM — stashing them was measured slower, see _bwd_kernel)
+  and accumulates dW/db across grid steps in the output block, emitting
+  dx per block;
+- the kernel is MXU-ISSUE-bound (~1 row/cycle/chain; f32 and bf16 issue
+  identically on v5e, benchmarks/mxu_probe.py — the bf16 option cannot
+  speed it up), so each block is processed as independent SPLIT_ROWS-row
+  chains, giving the scheduler per-layer matmuls to overlap across MXUs.
 
 Zero-padding (rows beyond N/g, lanes beyond g*D) is self-consistent: padded
 input columns are zero, padded weight rows/cols are zero, and the upstream
@@ -37,7 +42,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-BLOCK_ROWS = 256
+BLOCK_ROWS = 512
+# rows per independent matmul chain within a block: the layer loop is a
+# sequential dependence chain, and a single chain issues ~1 MXU row/cycle;
+# 2 chains of 256 rows give the scheduler independent matmuls to overlap
+# (v5e sweep, benchmarks/trunk_sweep.py: 512/256 = 5.62 ms vs 512/512 =
+# 5.71, 512/128 = 5.84, 256/128 = 6.17 at 1M obs; the chip's practical
+# peak is ~110 TF for ANY precision — f32 and bf16 time identically, so
+# bf16 operands cannot speed this up, benchmarks/mxu_probe.py)
+SPLIT_ROWS = 256
 
 
 def _interpret() -> bool:
@@ -45,9 +58,12 @@ def _interpret() -> bool:
 
 
 def _dot(a, b, bf16: bool, dims=None):
-    """MXU matmul; bf16 operands with f32 accumulation when requested (4x
-    the f32 MXU rate on TPU — the operands here are O(1) standardized
-    metadata activations and near-identity weights, well inside bf16 range).
+    """MXU matmul; bf16 operands with f32 accumulation when requested.
+    Measured on v5e: NO rate difference vs f32 (f32 matmuls already run at
+    the bf16 MXU rate; the kernel is issue-rate-bound — mxu_probe.py). The
+    operands here are O(1) standardized metadata activations and
+    near-identity weights, well inside bf16 range, so the option is safe
+    where it does help (memory-bound wide trunks, other TPU generations).
     """
     if bf16:
         a = a.astype(jnp.bfloat16)
@@ -58,18 +74,35 @@ def _dot(a, b, bf16: bool, dims=None):
                                preferred_element_type=jnp.float32)
 
 
+def _split_slices(total_rows: int):
+    n = max(1, total_rows // SPLIT_ROWS)
+    step = total_rows // n
+    return [slice(j * step, (j + 1) * step) for j in range(n)]
+
+
 def _fwd_kernel(n_layers: int, leakiness: float, bf16: bool):
     def kernel(x_ref, w_ref, b_ref, out_ref):
-        h = x_ref[:]
+        # independent row-chains (see SPLIT_ROWS): each chain's layer loop
+        # is a sequential MXU dependence; chains overlap in the scheduler
+        sls = _split_slices(x_ref.shape[0])
+        hs = [x_ref[s, :] for s in sls]
         for l in range(n_layers):
-            h = _dot(h, w_ref[l], bf16)
-            h = h + b_ref[l:l + 1, :]
-            h = jnp.where(h >= 0, h, leakiness * h)
-        out_ref[:] = h
+            wl = w_ref[l]
+            bl = b_ref[l:l + 1, :]
+            hs = [jnp.where(h >= 0, h, leakiness * h)
+                  for h in [_dot(h, wl, bf16) + bl for h in hs]]
+        for s, h in zip(sls, hs):
+            out_ref[s, :] = h
     return kernel
 
 
 def _bwd_kernel(n_layers: int, leakiness: float, bf16: bool):
+    """Recompute-in-VMEM backward: activations are rebuilt per block from
+    x (an extra n_layers matmuls, ~1/3 of the backward's MXU issue) and
+    never touch HBM. The stash-to-HBM alternative was measured SLOWER on
+    v5e (+1.0 ms at 1M obs): the (L-1, B, 128) stash DMA does not overlap
+    — trading issue cycles for serialized HBM traffic loses."""
+
     def kernel(x_ref, w_ref, b_ref, dy_ref, dx_ref, dw_ref, db_ref):
         i = pl.program_id(0)
 
@@ -78,24 +111,33 @@ def _bwd_kernel(n_layers: int, leakiness: float, bf16: bool):
             dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
             db_ref[:] = jnp.zeros(db_ref.shape, db_ref.dtype)
 
-        # recompute forward, keeping every activation in VMEM/registers
-        acts = [x_ref[:]]
-        h = acts[0]
+        sls = _split_slices(x_ref.shape[0])
+        # recompute forward per chain, keeping every activation in VMEM
+        acts = [[x_ref[s, :]] for s in sls]
         for l in range(n_layers):
-            h = _dot(h, w_ref[l], bf16)
-            h = h + b_ref[l:l + 1, :]
-            h = jnp.where(h >= 0, h, leakiness * h)
-            acts.append(h)
+            wl = w_ref[l]
+            bl = b_ref[l:l + 1, :]
+            for a in acts:
+                h = _dot(a[-1], wl, bf16) + bl
+                a.append(jnp.where(h >= 0, h, leakiness * h))
 
-        dh = dy_ref[:]
+        dhs = [dy_ref[s, :] for s in sls]
         for l in range(n_layers - 1, -1, -1):
+            wl = w_ref[l]
             # leaky_relu'(pre): act and pre share sign (leakiness > 0)
-            dpre = dh * jnp.where(acts[l + 1] >= 0, 1.0, leakiness)
-            dw_ref[l] += _dot(acts[l], dpre, bf16,
-                              dims=(((0,), (0,)), ((), ())))
-            db_ref[l:l + 1, :] += jnp.sum(dpre, axis=0, keepdims=True)
-            dh = _dot(dpre, w_ref[l], bf16, dims=(((1,), (1,)), ((), ())))
-        dx_ref[:] = dh
+            dpres = [dh * jnp.where(a[l + 1] >= 0, 1.0, leakiness)
+                     for dh, a in zip(dhs, acts)]
+            dw = _dot(acts[0][l], dpres[0], bf16,
+                      dims=(((0,), (0,)), ((), ())))
+            for a, dpre in zip(acts[1:], dpres[1:]):
+                dw += _dot(a[l], dpre, bf16, dims=(((0,), (0,)), ((), ())))
+            dw_ref[l] += dw
+            db_ref[l:l + 1, :] += sum(
+                jnp.sum(dpre, axis=0, keepdims=True) for dpre in dpres)
+            dhs = [_dot(dpre, wl, bf16, dims=(((1,), (1,)), ((), ())))
+                   for dpre in dpres]
+        for s, dh in zip(sls, dhs):
+            dx_ref[s, :] = dh
     return kernel
 
 
