@@ -22,20 +22,14 @@ vs_baseline = fused steps/s / ref_style steps/s (dispatch-model ablation —
 labeled as such; the true TF baseline is unmeasurable in this environment,
 see BASELINE.md).
 
-Roofline: the dominant per-step HBM traffic at these shapes is the
-per-observation stream. A lower bound on bytes moved per step:
-
-  essential inputs (read once):  metadata N*d*4 + iobs/sig/mask 12N
-                                 + refl_id/image_id 8N
-  MLP activations:               L layers x N x width x 4 bytes, written
-                                 then re-read, forward AND backward
-                                 => 4*L*w*4*N  (w/o remat)
-  likelihood chain + transpose:  ~12 N-sized f32 intermediates (unfused)
-                                 or ~4 (fused: eps/ll/intermediates stay
-                                 in VMEM; only dloc/dscale/da/dF spill)
-
-speed-of-light step time = bytes / HBM peak bandwidth for the device kind;
-hbm_utilization_pct = sol_time / measured_time * 100.
+Speed-of-light: max(HBM-bound, MXU-issue-bound) time for the pipeline AS
+BUILT (see roofline() and benchmarks/PERF_NOTES.md for the measured
+per-component budget). The fused path keeps trunk activations and the
+likelihood chain in VMEM, so its HBM bytes are the packed-metadata /
+trunk in-out buffers plus ~4 N-sized chain arrays; its binding resource
+is the trunk's MXU matmul ISSUE rate (rows x layers x 4, 128x128 MACs
+per row — precision-independent, measured peak ~110 TF on v5e).
+sol_utilization_pct = sol_time / measured_time * 100.
 """
 import json
 import sys
@@ -184,20 +178,61 @@ def bench_reference_style(trainer, params, inputs, steps):
     return steps / dt
 
 
-def roofline(n_obs, d_meta, mlp_layers, mlp_width, fused, device_kind):
-    """Lower-bound HBM bytes per step and speed-of-light step time (s)."""
-    essential = n_obs * (d_meta * 4 + 12 + 8)
-    mlp_act = 4 * mlp_layers * mlp_width * 4 * n_obs
-    chain = (4 if fused else 12) * 4 * n_obs
-    bytes_per_step = essential + mlp_act + chain
-    bw = None
-    for k, v in HBM_GBPS.items():
+# measured practical matmul peak (benchmarks/mxu_probe.py): identical for
+# f32 and bf16 operands — big XLA matmuls top out here
+MEASURED_PEAK_TFLOPS = {"TPU v5 lite": 110.0, "TPU v5e": 110.0}
+
+
+def _lookup(table, device_kind):
+    for k, v in table.items():
         if device_kind.lower().startswith(k.lower()):
-            bw = v
-    if bw is None:
-        bw = HBM_GBPS.get(device_kind)
-    sol = bytes_per_step / (bw * 1e9) if bw else None
-    return bytes_per_step, sol
+            return v
+    return table.get(device_kind)
+
+
+def roofline(n_obs, d_meta, mlp_layers, mlp_width, fused, device_kind):
+    """Speed-of-light step time (s) as max(HBM-bound, MXU-bound), modeling
+    the pipeline AS BUILT (benchmarks/PERF_NOTES.md has the measured
+    per-component budget backing this).
+
+    HBM: the fused path keeps activations in VMEM — its traffic is the
+    packed metadata buffer (read in fwd AND in the recompute backward),
+    the trunk's out/dy/dx packed buffers, the unpack/head N-sized passes,
+    and the likelihood chain's in/out (~4 N-sized f32 arrays vs ~12
+    unfused). The old model charged the fused path with 4*L*w spilled
+    activation passes it does not perform, overstating sol bytes ~10x.
+
+    MXU: the trunk issues rows x layers matmul rows forward and 3x that
+    backward (recompute + dW + dx), 128x128 MACs per row — at width 10
+    the block-diagonal lane packing makes this the step's binding
+    resource (issue-bound; precision-independent).
+    """
+    d_slot = max(d_meta, mlp_width)
+    group = max(1, 128 // d_slot)
+    packed_rows = -(-n_obs // group)
+    essential = n_obs * (12 + 8)
+    if fused:
+        packed = packed_rows * 128 * 4
+        trunk_traffic = 5 * packed          # x2d fwd+bwd reads, h, dy, dx
+        head = 6 * 4 * n_obs                # unpack + head fwd/bwd passes
+        chain = 4 * 4 * n_obs
+        mlp_bytes = trunk_traffic + head
+    else:
+        mlp_bytes = 4 * mlp_layers * mlp_width * 4 * n_obs
+        chain = 12 * 4 * n_obs
+    bytes_per_step = essential + mlp_bytes + chain
+
+    bw = _lookup(HBM_GBPS, device_kind)
+    sol_hbm = bytes_per_step / (bw * 1e9) if bw else None
+
+    peak = _lookup(MEASURED_PEAK_TFLOPS, device_kind)
+    if peak:
+        issue_rows = packed_rows * mlp_layers * 4   # fwd + 3x bwd
+        sol_mxu = issue_rows * 128 * 128 * 2 / (peak * 1e12)
+    else:
+        sol_mxu = None
+    sols = [s for s in (sol_hbm, sol_mxu) if s is not None]
+    return bytes_per_step, (max(sols) if sols else None), sol_hbm, sol_mxu
 
 
 def main():
@@ -274,11 +309,21 @@ def main():
     # headline: best production configuration on the reference-default
     # 20x10 MLP mono-Normal workload
     best = max(x for x in (fused_bf16, fused, unfused) if x is not None)
-    # utilization is quoted for the f32 fused config ONLY (the roofline
-    # models f32 traffic; mixing bf16 could exceed 100%)
-    _, sol_t = roofline(n_obs, 10, 20, 10, fused is not None, device_kind)
+    # speed-of-light = max(HBM-bound, MXU-issue-bound) for the as-built
+    # fused pipeline (see roofline docstring + benchmarks/PERF_NOTES.md);
+    # quoted for the f32 fused config only
+    _, sol_t, sol_hbm, sol_mxu = roofline(n_obs, 10, 20, 10,
+                                          fused is not None, device_kind)
     util = (round(100 * sol_t * fused, 1)
             if sol_t is not None and fused is not None else None)
+    if sol_hbm is not None:
+        extras["sol_ms"] = {
+            "hbm": round(sol_hbm * 1e3, 3),
+            "mxu_issue": (None if sol_mxu is None
+                          else round(sol_mxu * 1e3, 3)),
+            "binding": ("mxu_issue" if sol_mxu and sol_mxu > sol_hbm
+                        else "hbm"),
+        }
 
     print(json.dumps({
         "metric": "observations_per_s_per_chip_1M_obs",
@@ -295,7 +340,9 @@ def main():
         "elbo_steps_per_s_ref_dispatch": round(ref, 2),
         "fused_speedup_vs_unfused": (None if fused is None
                                      else round(fused / unfused, 2)),
-        "hbm_utilization_pct_vs_roofline": util,
+        # measured step time vs max(HBM, MXU-issue) speed-of-light for the
+        # as-built pipeline (sol_ms extra has the components)
+        "sol_utilization_pct": util,
         **extras,
         "device_kind": device_kind,
         "n_obs": n_obs,

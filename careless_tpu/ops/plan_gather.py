@@ -46,7 +46,11 @@ logger = logging.getLogger(__name__)
 
 LANES = 128
 BLOCK_OBS = 8192            # observations per kernel grid step (64 x 128)
-MAX_WINDOW_CHUNKS = 32      # give up on the kernel beyond a 4096-entry window
+# give up on the kernel beyond a 6144-entry window: the per-tile chunk loop
+# costs ~linearly in window, and even at 48 chunks it beats the ~6.7 ms/M
+# element-serialized XLA take by >10x (Laue group-compressed layouts measure
+# windows in the mid-30s — 32 missed them by two chunks)
+MAX_WINDOW_CHUNKS = 48
 MAX_TABLE_ROWS = 16384      # table must fit comfortably in VMEM (8 MB)
 MAX_HIST_TABLE = 4096       # one-hot histogram backward for tables this small
 

@@ -192,10 +192,16 @@ def test_posterior_moments_and_predictions(rng):
     assert np.isfinite(np.asarray(mean)).all()
 
 
-def test_laue_planned_path_matches_unplanned(rng):
+def test_laue_planned_path_matches_unplanned():
     """The Laue perf layer (sorted_by_harmonic + harmonic/refl plans,
     main._shard_inputs) must be a pure layout change: identical loss and
-    parameter gradients vs the plain XLA path on unsorted rows."""
+    parameter gradients vs the plain XLA path on unsorted rows.
+
+    Uses a LOCAL generator, not the session-scoped rng fixture: the two
+    paths differ by float associativity right at the assert tolerance, and
+    the shared fixture makes the drawn data depend on which tests ran
+    before (observed order-dependent flake)."""
+    rng = np.random.default_rng(11)
     inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=300, laue=True)
     # scramble row order so the sort actually does something
     order = np.random.default_rng(3).permutation(300)
