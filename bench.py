@@ -123,14 +123,15 @@ def _device_inputs(inputs):
         else jax.device_put(x), inputs, is_leaf=lambda x: x is None)
 
 
-def bench_scan(trainer, params, inputs, steps, chunk):
-    """scan-chunked trainer (the careless-tpu architecture)."""
+def bench_scan(trainer, params, inputs, steps, chunk, mesh=None):
+    """scan-chunked trainer (the careless-tpu architecture); mesh routes
+    the step through the shard_map fast path (per-shard plans)."""
     import jax
 
     inputs = _device_inputs(inputs)
     opt = trainer.optimizer()
     opt_state = opt.init(params)
-    step = trainer.make_step()
+    step = trainer.make_step(mesh)
 
     @jax.jit
     def run_chunk(params, opt_state, keys, inputs):
@@ -140,15 +141,22 @@ def bench_scan(trainer, params, inputs, steps, chunk):
 
     key = jax.random.PRNGKey(0)
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(np.arange(chunk))
-    # warmup/compile
+    # warmup/compile; float() readback is the only reliable completion sync
+    # through the device tunnel (block_until_ready has been observed
+    # returning before remote completion, letting warmup execution bleed
+    # into the timed region — see benchmarks/PERF_NOTES.md)
     p, o, m = run_chunk(params, opt_state, keys, inputs)
-    jax.block_until_ready(m)
+    # second warmup from the OUTPUT carry: under a mesh, returned params
+    # carry GSPMD shardings that differ from the host-fresh warmup inputs,
+    # and timing from the first output would charge a recompile
+    p, o, m = run_chunk(p, o, keys, inputs)
+    float(m[-1, 0])
     t0 = time.perf_counter()
     done = 0
     while done < steps:
         p, o, m = run_chunk(p, o, keys, inputs)
         done += chunk
-    jax.block_until_ready(m)
+    float(m[-1, 0])
     dt = time.perf_counter() - t0
     return steps / dt
 
@@ -169,7 +177,7 @@ def bench_reference_style(trainer, params, inputs, steps):
 
     key = jax.random.PRNGKey(0)
     (p, o), m = one(params, opt_state, jax.random.fold_in(key, 0), inputs)
-    jax.block_until_ready(m)
+    float(m[0])
     t0 = time.perf_counter()
     for i in range(steps):
         (p, o), m = one(p, o, jax.random.fold_in(key, i), inputs)
@@ -266,6 +274,18 @@ def main():
                                    likelihood="studentt")
         extras["elbo_steps_per_s_fused_studentt"] = round(
             bench_scan(t, p, i, steps, chunk), 2)
+
+        # the shard_map scale-out path on a 1-device mesh: proves the
+        # per-shard plans + fused kernels hold full speed under sharding
+        # on real hardware (round-2 regression: sharded runs lost every
+        # fast path; multi-chip hardware is not reachable here, so the
+        # 1-device mesh is the strongest available guard)
+        from careless_tpu.parallel.shard import shard_inputs_over_mesh
+        _, p, t, i = build_problem(n_obs, n_refl, fused=True, plans=False)
+        i_sh, mesh = shard_inputs_over_mesh(
+            i, 1, n_refl=n_refl, n_images=2000, mlp_width=10)
+        extras["elbo_steps_per_s_sharded_1dev"] = round(
+            bench_scan(t, p, i_sh, steps // 2, chunk, mesh=mesh), 2)
 
         # bf16 width sweep (VERDICT round-2 Weak #2: find bf16's win or
         # retire the flag — at width 10 the trunk no longer dominates)
