@@ -77,6 +77,9 @@ def _dot(a, b, bf16: bool, dims=None):
 def _split_slices(total_rows: int):
     n = max(1, total_rows // SPLIT_ROWS)
     step = total_rows // n
+    # fail loudly on constant combinations that would leave trailing rows
+    # uncovered (e.g. SPLIT_ROWS=96 -> 5 chains of 102 rows, 2 rows lost)
+    assert step * n == total_rows, (total_rows, SPLIT_ROWS, n, step)
     return [slice(j * step, (j + 1) * step) for j in range(n)]
 
 

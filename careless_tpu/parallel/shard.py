@@ -17,6 +17,7 @@ BASELINE.json north star:
 """
 from __future__ import annotations
 
+import logging
 from dataclasses import replace as dc_replace
 from typing import List, Optional, Tuple
 
@@ -25,6 +26,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.base import GatherPlans, Inputs
+
+logger = logging.getLogger(__name__)
 
 
 def make_mesh(num_devices: int, devices=None, axis_name: str = "obs") -> Mesh:
@@ -221,6 +224,14 @@ def _stack_gather_plans(plans: List, n_local: int):
                 for b in bnds])
         else:
             cp2d, cp_bases, cp_window = None, None, 0
+            if any(w > 0 for w in cp_windows):
+                # uniform-branch requirement: one shard lacking a
+                # chunk-prefix window degrades every shard to the XLA take
+                # for that half (mirrors the main-window degrade above)
+                logger.debug(
+                    "boundary-plan chunk-prefix window degraded to the XLA "
+                    "take for all %d shards (%d shard(s) lack a window)",
+                    len(bnds), sum(1 for w in cp_windows if w == 0))
         bnd = BoundaryPlan(pos=pos, cp2d=cp2d, cp_bases=cp_bases,
                            cp_window=cp_window)
     return GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,

@@ -65,7 +65,10 @@ def weighted_pearsonr(x, y, w):
     cov = (w * (x - mx) * (y - my)).sum() / sw
     vx = (w * np.square(x - mx)).sum() / sw
     vy = (w * np.square(y - my)).sum() / sw
-    return cov / np.sqrt(vx * vy)
+    denom = np.sqrt(vx * vy)
+    if denom == 0.0:  # zero-variance group: correlation undefined
+        return np.nan
+    return cov / denom
 
 
 def stack_anomalous(ds: DataSet) -> DataSet:
