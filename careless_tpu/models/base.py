@@ -27,6 +27,9 @@ class GatherPlans(NamedTuple):
     image: Optional["GatherPlanLike"] = None  # for image_scales[image_id]
     meta: Optional["GatherPlanLike"] = None   # ops.fused_mlp.PackedMeta
     harmonic: Optional["GatherPlanLike"] = None  # Laue convolve over harmonic_id
+    # gather-free run-aligned Laue convolution for the training-path ll sum
+    # (ops/conv_runs.py); harmonic above remains for output-time convolves
+    harmonic_run: Optional["GatherPlanLike"] = None
 
 
 GatherPlanLike = object  # ops.plan_gather.GatherPlan (untyped to avoid a cycle)
@@ -140,17 +143,23 @@ class Inputs(NamedTuple):
         mlp_width: when given, also pre-pack the (static) metadata into the
         fused-MLP lane layout (ops/fused_mlp.py) so the trunk kernel skips
         the per-step XLA packing copies."""
+        from ..ops.conv_runs import make_conv_run_plan
         from ..ops.fused_mlp import pack_metadata
         from ..ops.plan_gather import make_gather_plan
         meta = (pack_metadata(self.metadata, mlp_width)
                 if mlp_width is not None else None)
-        harmonic = (make_gather_plan(self.harmonic_id, self.n_obs)
-                    if self.is_laue else None)
+        harmonic = harmonic_run = None
+        if self.is_laue:
+            harmonic = make_gather_plan(self.harmonic_id, self.n_obs)
+            harmonic_run = make_conv_run_plan(
+                self.harmonic_id, self.intensities, self.uncertainties,
+                self.mask)
         return self._replace(plans=GatherPlans(
             refl=make_gather_plan(self.refl_id, n_refl),
             image=make_gather_plan(self.image_id, n_images),
             meta=meta,
-            harmonic=harmonic))
+            harmonic=harmonic,
+            harmonic_run=harmonic_run))
 
     @staticmethod
     def from_arrays(refl_id, image_id, file_id, metadata, intensities,

@@ -22,7 +22,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+import numpy as np
 
+from ...ops.conv_runs import conv_start_sums
 from ...ops.plan_gather import plan_convolve
 from ..base import Inputs
 from . import mono
@@ -31,10 +33,15 @@ from . import mono
 class ConvolvedLikelihood:
     """Wraps a base distribution; log_prob(v) = base.log_prob(convolve(v))."""
 
-    def __init__(self, distribution, harmonic_id, plan=None):
+    def __init__(self, distribution, harmonic_id, plan=None, run_plan=None,
+                 row_distribution=None):
         self.distribution = distribution
         self.harmonic_id = harmonic_id
         self.plan = plan
+        # gather-free run-aligned training path (ops/conv_runs.py): the
+        # base distribution re-built on the group values broadcast to rows
+        self.run_plan = run_plan
+        self.row_distribution = row_distribution
 
     def convolve(self, value):
         """Scatter-add along the last (observation) axis into same-length
@@ -44,6 +51,24 @@ class ConvolvedLikelihood:
 
     def log_prob(self, value):
         return self.distribution.log_prob(self.convolve(value))
+
+    def masked_ll_sum(self, ipred, mask):
+        """sum over group-table rows of mask * log_prob(ipred) — the ELBO's
+        likelihood term. With a run plan this is the gather-free form:
+        log-probs at run-start rows plus the static never-hit tail
+        (identical by construction to sum(log_prob(ipred) * mask), see
+        ops/conv_runs.py); otherwise the plain convolved sum."""
+        rp = self.run_plan
+        if rp is None or self.row_distribution is None:
+            ll = self.log_prob(ipred)
+            if mask is not None:
+                ll = ll * mask
+            return jnp.sum(ll)
+        conv = conv_start_sums(ipred, rp)
+        ll = self.row_distribution.log_prob(conv) * rp.start_ll_mask
+        n_samples = int(np.prod(ipred.shape[:-1])) if ipred.ndim > 1 else 1
+        tail = self.distribution.log_prob(jnp.zeros_like(rp.iobs_row))
+        return jnp.sum(ll) + n_samples * jnp.sum(tail * rp.tail_mask)
 
     def mean(self):
         return self.distribution.mean()
@@ -56,6 +81,20 @@ def _harmonic_plan(inputs: Inputs):
     return inputs.plans.harmonic if inputs.plans is not None else None
 
 
+def _build_convolved(base, params: dict, inputs: Inputs):
+    """Wrap a base mono likelihood into the convolved form, attaching the
+    run-aligned fast path when the inputs carry a ConvRunPlan."""
+    run = (inputs.plans.harmonic_run if inputs.plans is not None else None)
+    row_dist = None
+    if run is not None:
+        row_dist = base.build(params, inputs._replace(
+            intensities=run.iobs_row, uncertainties=run.sig_row))
+    return ConvolvedLikelihood(base.build(params, inputs),
+                               inputs.harmonic_id,
+                               plan=_harmonic_plan(inputs),
+                               run_plan=run, row_distribution=row_dist)
+
+
 def _convolved(base_cls):
     @dataclass(frozen=True)
     class _Conv:
@@ -63,9 +102,7 @@ def _convolved(base_cls):
             return base_cls().init()
 
         def build(self, params: dict, inputs: Inputs):
-            return ConvolvedLikelihood(base_cls().build(params, inputs),
-                                       inputs.harmonic_id,
-                                       plan=_harmonic_plan(inputs))
+            return _build_convolved(base_cls(), params, inputs)
     _Conv.__name__ = base_cls.__name__
     _Conv.__qualname__ = base_cls.__name__
     return _Conv
@@ -84,9 +121,8 @@ class StudentTLikelihood:
         return {}
 
     def build(self, params: dict, inputs: Inputs):
-        return ConvolvedLikelihood(
-            mono.StudentTLikelihood(self.dof).build(params, inputs),
-            inputs.harmonic_id, plan=_harmonic_plan(inputs))
+        return _build_convolved(mono.StudentTLikelihood(self.dof), params,
+                                inputs)
 
 
 @dataclass(frozen=True)
@@ -97,6 +133,5 @@ class StudentTEv11Likelihood:
         return mono.NormalEv11Likelihood().init()
 
     def build(self, params: dict, inputs: Inputs):
-        return ConvolvedLikelihood(
-            mono.StudentTEv11Likelihood(self.dof).build(params, inputs),
-            inputs.harmonic_id, plan=_harmonic_plan(inputs))
+        return _build_convolved(mono.StudentTEv11Likelihood(self.dof),
+                                params, inputs)

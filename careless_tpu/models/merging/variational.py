@@ -68,6 +68,18 @@ class VariationalMergingModel:
     # term — lower-variance than the reference's full-MC KL
     analytic_kl: bool = False
 
+    @staticmethod
+    def _masked_ll_sum(likelihood, ipred, mask):
+        """Total masked log-likelihood over all samples and rows.
+        Convolved (Laue) likelihoods provide the gather-free run-aligned
+        form (models/likelihoods/laue.py masked_ll_sum)."""
+        if hasattr(likelihood, "masked_ll_sum"):
+            return likelihood.masked_ll_sum(ipred, mask)
+        ll = likelihood.log_prob(ipred)
+        if mask is not None:
+            ll = ll * mask
+        return jnp.sum(ll)
+
     def _fused_likelihood_kind(self):
         """(kind, dof) for the fused kernel's pointwise chain, or None when
         the likelihood is not fused-supported (ops/fused_elbo.py)."""
@@ -133,28 +145,29 @@ class VariationalMergingModel:
         scale_dist = self.scaler.apply(params["scaler"], inputs)
         z_scale = scale_dist.sample(k_s, (self.mc_samples,))  # (S, N)
 
-        z_obs = plan_gather(z_f, inputs.refl_id,
-                            inputs.plans.refl if inputs.plans else None)
+        refl_plan = inputs.plans.refl if inputs.plans else None
+        if self.mc_samples == 1:
+            # flat gather keeps the 1-D fast forwards (windowed / one-hot
+            # MXU) engaged; batched tables fall back per sample
+            z_obs = plan_gather(z_f[0], inputs.refl_id, refl_plan)[None]
+        else:
+            z_obs = plan_gather(z_f, inputs.refl_id, refl_plan)
         ipred = z_scale * jnp.square(z_obs)                   # (S, N)
 
         likelihood = self.likelihood.build(params.get("likelihood", {}), inputs)
-        ll = likelihood.log_prob(ipred)                       # (S, N)
-        if inputs.mask is not None:
-            # shard-padding rows contribute nothing to the likelihood
-            ll = ll * inputs.mask
+        ll_total = self._masked_ll_sum(likelihood, ipred, inputs.mask)
 
         prior = self._built_prior(params)
         kl_sum, kl_mean = self._kl_terms(q, prior, z_f)
 
         if self.kl_weight is None:
-            nll = -jnp.sum(ll) / self.mc_samples
+            nll = -ll_total / self.mc_samples
             kl = kl_sum
             loss = nll + kl
         else:
-            if inputs.mask is not None:
-                nll = -jnp.sum(ll) / (self.mc_samples * jnp.sum(inputs.mask))
-            else:
-                nll = -jnp.mean(ll)
+            n_eff = (jnp.sum(inputs.mask) if inputs.mask is not None
+                     else inputs.n_obs)
+            nll = -ll_total / (self.mc_samples * n_eff)
             kl = kl_mean
             loss = nll + self.kl_weight * kl
 
@@ -333,8 +346,7 @@ class VariationalMergingModel:
                     z_obs = plan_gather(z_f, local.refl_id, plans_local.refl)
                 ipred = z_scale * jnp.square(z_obs)
                 lik = model.likelihood.build(lik_params, local)
-                ll = lik.log_prob(ipred) * local.mask
-                ll_sum = jnp.sum(ll)
+                ll_sum = model._masked_ll_sum(lik, ipred, local.mask)
             return (lax.psum(ll_sum, "obs"),
                     lax.psum(jnp.sum(local.mask), "obs"))
 
@@ -457,10 +469,7 @@ class VariationalMergingModel:
                         plans.refl if plans is not None else None)
                 ipred = z_scale * jnp.square(z_obs)
                 lik = model.likelihood.build(lik_params, local)
-                ll = lik.log_prob(ipred)
-                if local.mask is not None:
-                    ll = ll * local.mask
-                ll_sum = jnp.sum(ll)
+                ll_sum = model._masked_ll_sum(lik, ipred, local.mask)
             return lax.psum(ll_sum, "mc")
 
         ll_sum = shard_map(

@@ -53,6 +53,16 @@ BLOCK_OBS = 8192            # observations per kernel grid step (64 x 128)
 MAX_WINDOW_CHUNKS = 48
 MAX_TABLE_ROWS = 16384      # table must fit comfortably in VMEM (8 MB)
 MAX_HIST_TABLE = 4096       # one-hot histogram backward for tables this small
+# one-hot MXU gather forward for windowless id layouts (the Laue
+# group-contiguous refl gather): cost ~ N * table_rows MXU-issue rows, so it
+# beats the ~6.7 ms/M element-serialized take up to ~1500 table rows
+# (measured 1.8 ms/M at 391 rows, benchmarks/gather_probe.py); capped with
+# margin
+MAX_MXU_GATHER_ROWS = 1024
+# apply backward permutations by a stable key sort instead of jnp.take:
+# lax.sort_key_val moves 1M elements in 1.9 ms on v5e vs 6.9 ms for the
+# element-serialized take (gather_probe.py). Only pays off on TPU at scale.
+SORT_PERMUTE_MIN_N = 65536
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -82,8 +92,9 @@ class BoundaryPlan:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("perm", "starts", "ends", "ids2d", "bases", "bnd"),
-         meta_fields=("window", "hist"))
+         data_fields=("perm", "starts", "ends", "ids2d", "bases", "bnd",
+                      "sort_keys"),
+         meta_fields=("window", "hist", "mxu"))
 @dataclass(frozen=True)
 class GatherPlan:
     """Static transpose/window plan for gathering `table[ids]`.
@@ -96,9 +107,16 @@ class GatherPlan:
     bases:  (R // rows_per_tile,) int32 window base row per tile
     bnd:    boundary plan for the segment-sum backward (None = legacy
             at(ends) - at(starts) with 4 XLA takes)
-    window: static window size in 128-entry chunks (0 = XLA forward)
+    sort_keys: (n,) int32 raw ids — backward permute runs as a stable
+            lax.sort_key_val on these instead of the element-serialized
+            take(perm) at TPU scale (see SORT_PERMUTE_MIN_N); only
+            consulted when perm is not None
+    window: static window size in 128-entry chunks (0 = no windowed kernel)
     hist:   backward uses the one-hot-matmul histogram (small unsorted
             tables: MXU beats the permuted segment-sum ~3.5x, measured)
+    mxu:    forward uses the one-hot MXU gather (windowless layouts with a
+            VMEM-scale table, e.g. the Laue group-contiguous refl gather:
+            2.6x faster than the element-serialized take, gather_probe.py)
     """
 
     perm: Optional[Array]
@@ -107,8 +125,10 @@ class GatherPlan:
     ids2d: Optional[Array] = None
     bases: Optional[Array] = None
     bnd: Optional[BoundaryPlan] = None
+    sort_keys: Optional[Array] = None
     window: int = 0
     hist: bool = False
+    mxu: bool = False
 
 
 def make_boundary_plan(starts: np.ndarray, n: int) -> BoundaryPlan:
@@ -138,13 +158,30 @@ def make_gather_plan(ids, table_size: int) -> GatherPlan:
     ends = np.searchsorted(sorted_ids, rng, side="right").astype(np.int32)
 
     ids2d, bases, window = _plan_windows(ids, table_size, is_sorted)
-    hist = (not is_sorted and ids2d is not None
+    mxu = False
+    if ids2d is None and -(-table_size // LANES) <= MAX_MXU_GATHER_ROWS:
+        # windowless layout (ids too spread) but the table is VMEM-scale:
+        # forward via the one-hot MXU gather instead of the serialized take
+        ids2d = _pad_ids2d(ids)
+        mxu = True
+    hist = (not is_sorted and ids2d is not None and not mxu
             and table_size <= MAX_HIST_TABLE)
     return GatherPlan(
         perm=None if perm is None else perm,
         starts=starts, ends=ends,
-        ids2d=ids2d, bases=bases, window=window, hist=hist,
+        ids2d=ids2d, bases=bases, window=window, hist=hist, mxu=mxu,
+        sort_keys=ids.astype(np.int32),
         bnd=make_boundary_plan(starts, n))
+
+
+def _pad_ids2d(ids: np.ndarray) -> np.ndarray:
+    """(n,) -> (R, 128) BLOCK_OBS-aligned id tiles (padding id 0)."""
+    n = len(ids)
+    rows = -(-n // LANES)
+    rows_pad = -(-rows // (BLOCK_OBS // LANES)) * (BLOCK_OBS // LANES)
+    flat = np.zeros(rows_pad * LANES, np.int32)
+    flat[:n] = ids
+    return flat.reshape(rows_pad, LANES)
 
 
 def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True):
@@ -243,6 +280,67 @@ def _onehot_histogram(ct: Array, ids2d: Array, table_size: int) -> Array:
     return out.reshape(t_rows * LANES)[:table_size]
 
 
+def _onehot_gather(table: Array, ids2d: Array, table_size: int) -> Array:
+    """out[k] = table[ids[k]] as one MXU matmul per tile (order-independent).
+
+    Factor the id: id = hi*128 + lo. Per BLOCK_OBS-tile,
+        rows[k, :] = onehot(hi_k) @ table2d      ((K, t_rows) @ (t_rows, 128))
+        out[k]     = sum_l rows[k, l] * [lo_k == l]   (VPU one-hot reduce)
+    Measured on v5e at 1M ids / 391 table rows: 1.8 ms vs 6.9 ms for the
+    element-serialized XLA take (gather_probe.py). HIGH matmul precision
+    keeps table values to ~1.5e-5 relative (bf16x3 value split) — far below
+    the ELBO's MC noise; HIGHEST would be exact but is 1.45x slower.
+    """
+    t_rows = -(-table_size // LANES)
+    total = t_rows * LANES
+    table2d = jnp.concatenate(
+        [table, jnp.zeros(total - table.shape[0], table.dtype)]
+    ).reshape(t_rows, LANES)
+    hi_iota = jnp.arange(t_rows, dtype=ids2d.dtype)
+    lo_iota = jnp.arange(LANES, dtype=ids2d.dtype)
+    tiles = ids2d.reshape(-1, BLOCK_OBS)
+
+    def body(c, idx):
+        hi = idx // LANES
+        lo = idx % LANES
+        a = (hi[:, None] == hi_iota[None, :]).astype(jnp.float32)
+        rows = jnp.dot(a, table2d, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGH)
+        out = jnp.sum(rows * (lo[:, None] == lo_iota[None, :]), axis=1)
+        return c, out
+
+    _, outs = jax.lax.scan(body, 0.0, tiles)
+    return outs.reshape(-1)
+
+
+def _use_sort_permute(n: int) -> bool:
+    """Sort beats the element-serialized take only on TPU at scale (tests
+    monkeypatch this to force the branch on the CPU mesh)."""
+    return n >= SORT_PERMUTE_MIN_N and jax.default_backend() == "tpu"
+
+
+def _apply_perm(contrib: Array, plan: GatherPlan) -> Array:
+    """Reorder contributions into table-id order (the backward permute).
+
+    At TPU scale a stable key-sort on the raw ids beats the
+    element-serialized take(perm) ~3.6x (gather_probe.py); stability makes
+    it bit-identical to take(argsort(ids, stable))."""
+    if plan.perm is None:
+        return contrib
+    n = contrib.shape[-1]
+    if plan.sort_keys is not None and _use_sort_permute(n):
+        # sort FLAT rows one at a time: XLA's batched sort on (S, N) runs
+        # ~7x slower than S independent 1-D sorts (measured 13.9 vs 1.9 ms
+        # at (1, 1M) on v5e); S = mc_samples is small, so unrolling is free
+        lead = contrib.shape[:-1]
+        flat = contrib.reshape((-1, n))
+        rows = [jax.lax.sort_key_val(plan.sort_keys, flat[s])[1]
+                for s in range(flat.shape[0])]
+        c_sorted = rows[0] if not lead else jnp.stack(rows)
+        return c_sorted.reshape(lead + (n,))
+    return jnp.take(contrib, plan.perm, axis=-1)
+
+
 def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
     """sum of contrib over each id's segment: the scatter-add closed form.
 
@@ -260,10 +358,7 @@ def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
     """
     if plan.hist and contrib.ndim == 1 and plan.ids2d is not None:
         return _onehot_histogram(contrib, plan.ids2d, plan.starts.shape[0])
-    if plan.perm is None:
-        c_sorted = contrib
-    else:
-        c_sorted = jnp.take(contrib, plan.perm, axis=-1)
+    c_sorted = _apply_perm(contrib, plan)
     n = c_sorted.shape[-1]
     lead = c_sorted.shape[:-1]
     # pad with >= 1 zero so boundary position n indexes a real (zero) slot
@@ -319,23 +414,51 @@ def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
 # XLA-forward path (batched tables / no window plan)
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _plan_gather(hist, table, ids, perm, starts, ends, ids2d, bnd):
+def _plan_gather(hist, table, ids, perm, starts, ends, ids2d, bnd, keys):
     return jnp.take(table, ids, axis=-1)
 
 
-def _plan_gather_fwd(hist, table, ids, perm, starts, ends, ids2d, bnd):
-    return jnp.take(table, ids, axis=-1), (perm, starts, ends, ids2d, bnd)
+def _plan_gather_fwd(hist, table, ids, perm, starts, ends, ids2d, bnd, keys):
+    return (jnp.take(table, ids, axis=-1),
+            (perm, starts, ends, ids2d, bnd, keys))
 
 
 def _plan_gather_bwd(hist, res, ct):
-    perm, starts, ends, ids2d, bnd = res
+    perm, starts, ends, ids2d, bnd, keys = res
     dtable = segment_sum_by_plan(
         ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                       hist=hist, bnd=bnd))
-    return dtable, None, None, None, None, None, None
+                       hist=hist, bnd=bnd, sort_keys=keys))
+    return dtable, None, None, None, None, None, None, None
 
 
 _plan_gather.defvjp(_plan_gather_fwd, _plan_gather_bwd)
+
+
+# --------------------------------------------------------------------------
+# One-hot MXU forward path (windowless ids over a VMEM-scale table — the
+# Laue group-contiguous refl gather)
+# --------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _mxu_plan_gather(n, table_size, table, ids2d, perm, starts, ends, bnd,
+                     keys):
+    return _onehot_gather(table, ids2d, table_size)[:n]
+
+
+def _mxu_fwd(n, table_size, table, ids2d, perm, starts, ends, bnd, keys):
+    out = _mxu_plan_gather(n, table_size, table, ids2d, perm, starts, ends,
+                           bnd, keys)
+    return out, (perm, starts, ends, ids2d, bnd, keys)
+
+
+def _mxu_bwd(n, table_size, res, ct):
+    perm, starts, ends, ids2d, bnd, keys = res
+    dtable = segment_sum_by_plan(
+        ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
+                       hist=False, bnd=bnd, sort_keys=keys))
+    return dtable, None, None, None, None, None, None
+
+
+_mxu_plan_gather.defvjp(_mxu_fwd, _mxu_bwd)
 
 
 # --------------------------------------------------------------------------
@@ -343,24 +466,24 @@ _plan_gather.defvjp(_plan_gather_fwd, _plan_gather_bwd)
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
-                          starts, ends, bnd):
+                          starts, ends, bnd, keys):
     from .table_gather import windowed_gather
     return windowed_gather(table, ids2d, bases, window)[:n]
 
 
 def _windowed_fwd(window, n, hist, table, ids2d, bases, perm, starts, ends,
-                  bnd):
+                  bnd, keys):
     out = _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
-                                starts, ends, bnd)
-    return out, (perm, starts, ends, ids2d, bnd)
+                                starts, ends, bnd, keys)
+    return out, (perm, starts, ends, ids2d, bnd, keys)
 
 
 def _windowed_bwd(window, n, hist, res, ct):
-    perm, starts, ends, ids2d, bnd = res
+    perm, starts, ends, ids2d, bnd, keys = res
     dtable = segment_sum_by_plan(
         ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                       hist=hist, bnd=bnd))
-    return dtable, None, None, None, None, None, None
+                       hist=hist, bnd=bnd, sort_keys=keys))
+    return dtable, None, None, None, None, None, None, None
 
 
 _windowed_plan_gather.defvjp(_windowed_fwd, _windowed_bwd)
@@ -374,16 +497,16 @@ _windowed_plan_gather.defvjp(_windowed_fwd, _windowed_bwd)
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _plan_convolve(window, hist, value, ids, perm, starts, ends, ids2d,
-                   bases, bnd):
+                   bases, bnd, keys):
     return segment_sum_by_plan(
         value, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                          hist=hist, bnd=bnd))
+                          hist=hist, bnd=bnd, sort_keys=keys))
 
 
 def _plan_convolve_fwd(window, hist, value, ids, perm, starts, ends, ids2d,
-                       bases, bnd):
+                       bases, bnd, keys):
     out = _plan_convolve(window, hist, value, ids, perm, starts, ends,
-                         ids2d, bases, bnd)
+                         ids2d, bases, bnd, keys)
     return out, (ids, ids2d, bases)
 
 
@@ -400,7 +523,7 @@ def _plan_convolve_bwd(window, hist, res, ct):
             )(ct)
     else:
         dv = jnp.take(ct, ids, axis=-1)
-    return dv, None, None, None, None, None, None, None
+    return dv, None, None, None, None, None, None, None, None
 
 
 _plan_convolve.defvjp(_plan_convolve_fwd, _plan_convolve_bwd)
@@ -420,7 +543,7 @@ def plan_convolve(value: Array, ids: Array,
     # cumsum path is always the right branch
     return _plan_convolve(plan.window, False, value, ids, plan.perm,
                           plan.starts, plan.ends, plan.ids2d, plan.bases,
-                          plan.bnd)
+                          plan.bnd, plan.sort_keys)
 
 
 def plan_gather(table: Array, ids: Array,
@@ -435,6 +558,19 @@ def plan_gather(table: Array, ids: Array,
     if plan.window > 0 and table.ndim == 1 and ids.ndim == 1:
         return _windowed_plan_gather(
             plan.window, ids.shape[0], plan.hist, table, plan.ids2d,
-            plan.bases, plan.perm, plan.starts, plan.ends, plan.bnd)
+            plan.bases, plan.perm, plan.starts, plan.ends, plan.bnd,
+            plan.sort_keys)
+    if plan.mxu and ids.ndim == 1:
+        def one(tab):
+            return _mxu_plan_gather(
+                ids.shape[0], plan.starts.shape[0], tab, plan.ids2d,
+                plan.perm, plan.starts, plan.ends, plan.bnd, plan.sort_keys)
+        if table.ndim == 1:
+            return one(table)
+        # batched table (S, T): S = mc_samples is small — unroll
+        lead = table.shape[:-1]
+        flat = table.reshape((-1, table.shape[-1]))
+        outs = [one(flat[s]) for s in range(flat.shape[0])]
+        return jnp.stack(outs).reshape(lead + (ids.shape[0],))
     return _plan_gather(plan.hist, table, ids, plan.perm, plan.starts,
-                        plan.ends, plan.ids2d, plan.bnd)
+                        plan.ends, plan.ids2d, plan.bnd, plan.sort_keys)

@@ -185,7 +185,11 @@ def _stack_gather_plans(plans: List, n_local: int):
     starts = np.stack([np.asarray(p.starts) for p in plans])
     ends = np.stack([np.asarray(p.ends) for p in plans])
 
+    sort_keys = np.stack([np.asarray(p.sort_keys) for p in plans]) \
+        if all(p.sort_keys is not None for p in plans) else None
+
     windows = [p.window for p in plans]
+    mxu = False
     if all(w > 0 for w in windows) and all(
             p.ids2d is not None for p in plans):
         window = max(windows)
@@ -199,9 +203,19 @@ def _stack_gather_plans(plans: List, n_local: int):
             bases.append(np.minimum(np.asarray(p.bases),
                                     max(t_rows - window, 0)).astype(np.int32))
         bases = np.stack(bases)
+    elif all(p.mxu for p in plans) and all(
+            p.ids2d is not None for p in plans):
+        # uniform one-hot MXU forward (windowless Laue refl layouts)
+        window, bases = 0, None
+        ids2d = np.stack([np.asarray(p.ids2d) for p in plans])
+        mxu = True
     else:
         window, ids2d, bases = 0, None, None
-    hist = all(p.hist for p in plans) and ids2d is not None
+        if any(w > 0 for w in windows) or any(p.mxu for p in plans):
+            logger.debug(
+                "gather fast-forward degraded to the XLA take for all %d "
+                "shards (mixed window/mxu eligibility)", len(plans))
+    hist = all(p.hist for p in plans) and ids2d is not None and not mxu
 
     # boundary plans: stack when every shard has one with the windowed
     # chunk-prefix resolve (uniform meta like the main window); otherwise
@@ -235,7 +249,8 @@ def _stack_gather_plans(plans: List, n_local: int):
         bnd = BoundaryPlan(pos=pos, cp2d=cp2d, cp_bases=cp_bases,
                            cp_window=cp_window)
     return GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                      bases=bases, window=window, hist=hist, bnd=bnd)
+                      bases=bases, window=window, hist=hist, mxu=mxu,
+                      sort_keys=sort_keys, bnd=bnd)
 
 
 def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
@@ -248,6 +263,8 @@ def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
     from ..ops.fused_mlp import PackedMeta, pack_metadata
     from ..ops.plan_gather import make_gather_plan
 
+    from ..ops.conv_runs import ConvRunPlan, make_conv_run_plan
+
     n = inputs.n_obs
     assert n % num_shards == 0, (n, num_shards)
     w = n // num_shards
@@ -255,8 +272,11 @@ def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
     image_id = np.asarray(inputs.image_id)
     metadata = np.asarray(inputs.metadata)
     hid = (np.asarray(inputs.harmonic_id) if inputs.is_laue else None)
+    intens = np.asarray(inputs.intensities)
+    sig = np.asarray(inputs.uncertainties)
+    mask = None if inputs.mask is None else np.asarray(inputs.mask)
 
-    refl_plans, image_plans, harm_plans, metas = [], [], [], []
+    refl_plans, image_plans, harm_plans, run_plans, metas = [], [], [], [], []
     for s in range(num_shards):
         lo, hi = s * w, (s + 1) * w
         refl_plans.append(make_gather_plan(refl_id[lo:hi], n_refl))
@@ -264,8 +284,22 @@ def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
         if hid is not None:
             # shard-local group ids (the layout offsets groups by s * w)
             harm_plans.append(make_gather_plan(hid[lo:hi] - lo, w))
+            run_plans.append(make_conv_run_plan(
+                hid[lo:hi] - lo, intens[lo:hi], sig[lo:hi],
+                None if mask is None else mask[lo:hi]))
         if mlp_width is not None:
             metas.append(pack_metadata(metadata[lo:hi], mlp_width))
+
+    harmonic_run = None
+    if run_plans and all(r is not None for r in run_plans):
+        # uniform static meta: every shard unrolls to the largest run
+        harmonic_run = ConvRunPlan(
+            start_ll_mask=np.stack([r.start_ll_mask for r in run_plans]),
+            run_len=np.stack([r.run_len for r in run_plans]),
+            iobs_row=np.stack([r.iobs_row for r in run_plans]),
+            sig_row=np.stack([r.sig_row for r in run_plans]),
+            tail_mask=np.stack([r.tail_mask for r in run_plans]),
+            max_run=max(r.max_run for r in run_plans))
 
     meta = None
     if metas:
@@ -278,7 +312,8 @@ def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
         image=_stack_gather_plans(image_plans, w),
         meta=meta,
         harmonic=(_stack_gather_plans(harm_plans, w) if harm_plans
-                  else None))
+                  else None),
+        harmonic_run=harmonic_run)
 
 
 def prepare_sharded_layout(inputs: Inputs, num_shards: int) -> Inputs:

@@ -203,3 +203,60 @@ def test_plan_convolve_batched(rng):
         jnp.zeros_like(val).at[..., jnp.asarray(ids)].add(val) ** 2))(v)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# one-hot MXU forward (windowless spread ids, VMEM-scale table — the Laue
+# group-contiguous refl gather) and the sort-based backward permute
+# ---------------------------------------------------------------------------
+def test_mxu_onehot_forward_engages_for_spread_ids(rng):
+    n, t = 30_000, 50_000   # random ids over 391 table rows: no window
+    ids = rng.integers(0, t, n).astype(np.int32)
+    plan = make_gather_plan(ids, t)
+    assert plan.window == 0 and plan.mxu and plan.ids2d is not None
+    table = rng.normal(size=t).astype(np.float32)
+    out = plan_gather(jnp.asarray(table), jnp.asarray(ids), plan)
+    # HIGH-precision one-hot matmul: exact on CPU, ~1.5e-5 rel on the MXU
+    np.testing.assert_allclose(np.asarray(out), table[ids],
+                               rtol=3e-5, atol=3e-5)
+
+    ct = rng.normal(size=n).astype(np.float32)
+
+    def f_plan(tab):
+        return jnp.sum(plan_gather(tab, jnp.asarray(ids), plan) * ct)
+
+    def f_ref(tab):
+        return jnp.sum(jnp.take(tab, jnp.asarray(ids)) * ct)
+
+    g_plan = jax.grad(f_plan)(jnp.asarray(table))
+    g_ref = jax.grad(f_ref)(jnp.asarray(table))
+    np.testing.assert_allclose(np.asarray(g_plan), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mxu_gather_not_used_when_table_too_large(rng):
+    ids = rng.integers(0, 300_000, 1000).astype(np.int32)
+    plan = make_gather_plan(ids, 300_000)  # 2344 rows > MAX_MXU_GATHER_ROWS
+    assert not plan.mxu and plan.window == 0
+
+
+def test_sort_permute_matches_take(monkeypatch, rng):
+    """The lax.sort_key_val backward permute (TPU-scale path) must be
+    bit-compatible with take(argsort(ids, stable)): stable sort on the raw
+    ids reproduces exactly the plan's permutation order."""
+    import careless_tpu.ops.plan_gather as pg
+    monkeypatch.setattr(pg, "_use_sort_permute", lambda n: True)
+    ids = rng.integers(0, 70, 5000).astype(np.int32)
+    v = rng.normal(size=5000).astype(np.float32)
+    plan = make_gather_plan(ids, 70)
+    assert plan.perm is not None and plan.sort_keys is not None
+    out = np.asarray(segment_sum_by_plan(jnp.asarray(v), plan))
+    expect = np.bincount(ids, weights=v.astype(np.float64), minlength=70)
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+    # batched contributions broadcast the keys over leading axes
+    vb = rng.normal(size=(3, 5000)).astype(np.float32)
+    outb = np.asarray(segment_sum_by_plan(jnp.asarray(vb), plan))
+    for s in range(3):
+        expect = np.bincount(ids, weights=vb[s].astype(np.float64),
+                             minlength=70)
+        np.testing.assert_allclose(outb[s], expect, rtol=1e-4, atol=1e-4)
