@@ -83,13 +83,29 @@ class VariationalMergingModel:
     def _fused_likelihood_kind(self):
         """(kind, dof) for the fused kernel's pointwise chain, or None when
         the likelihood is not fused-supported (ops/fused_elbo.py)."""
-        from ..likelihoods.mono import NormalLikelihood as MonoNormal
-        from ..likelihoods.mono import StudentTLikelihood as MonoStudentT
-        if isinstance(self.likelihood, MonoNormal):
+        from ..likelihoods import mono
+        lik = self.likelihood
+        if isinstance(lik, mono.NormalLikelihood):
             return ("normal", 0.0)
-        if isinstance(self.likelihood, MonoStudentT):
-            return ("studentt", float(self.likelihood.dof))
+        if isinstance(lik, mono.LaplaceLikelihood):
+            return ("laplace", 0.0)
+        if isinstance(lik, mono.StudentTEv11Likelihood):
+            return ("studentt_ev11", float(lik.dof))
+        if isinstance(lik, mono.StudentTLikelihood):
+            return ("studentt", float(lik.dof))
+        if isinstance(lik, mono.NormalEv11Likelihood):
+            return ("normal_ev11", 0.0)
         return None
+
+    @staticmethod
+    def _fused_ev11_scalars(kind, lik_params):
+        """POST-softplus Ev11 scalars for the fused kernel (their grads
+        flow back through this softplus), or None for plain kinds."""
+        if not kind.endswith("_ev11"):
+            return None
+        return (jax.nn.softplus(lik_params["sdfac_raw"]),
+                jax.nn.softplus(lik_params["sdadd_raw"]),
+                jax.nn.softplus(lik_params["sdb_raw"]))
 
     def _fused_eligible(self, inputs: Inputs) -> bool:
         from ..scaling.image import HybridImageScaler
@@ -218,7 +234,9 @@ class VariationalMergingModel:
                 inputs.refl_id, image_id, inputs.intensities,
                 inputs.uncertainties, inputs.mask, seed=seed, noise=eps,
                 refl_plan=plans.refl if plans is not None else None,
-                image_plan=image_plan, kind=kind, dof=dof)
+                image_plan=image_plan, kind=kind, dof=dof,
+                ev11=self._fused_ev11_scalars(
+                    kind, params.get("likelihood", {})))
         ll_sum = ll_sum / self.mc_samples
 
         prior = self._built_prior(params)
@@ -325,6 +343,7 @@ class VariationalMergingModel:
                     image_id = jnp.zeros_like(local.refl_id)
                     image_plan = None
                 kind, dof = model._fused_likelihood_kind()
+                ev11 = model._fused_ev11_scalars(kind, lik_params)
                 ll_sum = 0.0
                 for s in range(mc):
                     shard_seed = seed * 1009 + s + lax.axis_index("obs") * 31
@@ -335,7 +354,7 @@ class VariationalMergingModel:
                         seed=shard_seed,
                         noise=None if use_inkernel_prng else eps[s],
                         refl_plan=plans_local.refl, image_plan=image_plan,
-                        kind=kind, dof=dof)
+                        kind=kind, dof=dof, ev11=ev11)
             else:
                 scale_dist = model.scaler.apply(scaler_params, local)
                 z_scale = scale_dist.loc + scale_dist.scale * eps   # (S, w)
@@ -444,6 +463,7 @@ class VariationalMergingModel:
                     image_id = jnp.zeros_like(local.refl_id)
                     image_plan = None
                 kind, dof = model._fused_likelihood_kind()
+                ev11 = model._fused_ev11_scalars(kind, lik_params)
                 ll_sum = 0.0
                 for s in range(mc_local):
                     shard_seed = (seed * 1009 + s
@@ -455,7 +475,8 @@ class VariationalMergingModel:
                         seed=shard_seed,
                         noise=None if use_inkernel_prng else eps[s],
                         refl_plan=plans.refl if plans is not None else None,
-                        image_plan=image_plan, kind=kind, dof=dof)
+                        image_plan=image_plan, kind=kind, dof=dof,
+                        ev11=ev11)
             else:
                 scale_dist = model.scaler.apply(scaler_params, local)
                 z_scale = scale_dist.loc + scale_dist.scale * eps

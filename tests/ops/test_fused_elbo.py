@@ -231,3 +231,128 @@ def test_studentt_fused_elbo_matches_xla_path(rng):
     nll = -jnp.sum(ll)
     kl = jnp.sum(q.log_prob(z_f) - model.prior.log_prob(z_f))
     np.testing.assert_allclose(float(loss_fused), float(nll + kl), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Laplace + Ev11 pointwise chains (fused eligibility extension — the
+# reference's --refine-uncertainties production flag, mono.py:20-23,39-73)
+# ---------------------------------------------------------------------------
+def reference_laplace_ll_sum(loc, scale, a_tab, z_f, refl_id, image_id,
+                             iobs, sig, mask, noise):
+    a = a_tab[image_id]
+    z = a * loc + jnp.abs(a) * scale * noise
+    ipred = z * z_f[refl_id] ** 2
+    b = sig / jnp.sqrt(2.0)
+    ll = -jnp.log(2 * b) - jnp.abs(iobs - ipred) / b
+    return jnp.sum(mask * ll)
+
+
+def test_laplace_parity(problem):
+    loc, scale, a_tab, z_f, refl_id, image_id, iobs, sig, mask, noise = problem
+
+    def f_fused(loc, scale, a_tab, z_f):
+        return fused_likelihood_sum(loc, scale, a_tab, z_f, refl_id,
+                                    image_id, iobs, sig, mask, seed=0,
+                                    noise=noise, kind="laplace")
+
+    def f_ref(loc, scale, a_tab, z_f):
+        return reference_laplace_ll_sum(loc, scale, a_tab, z_f, refl_id,
+                                        image_id, iobs, sig, mask, noise)
+
+    np.testing.assert_allclose(float(f_fused(loc, scale, a_tab, z_f)),
+                               float(f_ref(*[jnp.asarray(x) for x in
+                                             (loc, scale, a_tab, z_f)])),
+                               rtol=1e-5)
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3))(loc, scale, a_tab, z_f)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(
+        *[jnp.asarray(x) for x in (loc, scale, a_tab, z_f)])
+    for a, b, name in zip(g_fused, g_ref, ["dloc", "dscale", "da", "dzf"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def reference_ev11_ll_sum(loc, scale, a_tab, z_f, refl_id, image_id, iobs,
+                          sig, mask, noise, ev, dof=None):
+    sdfac, sdadd, sdb = ev
+    a = a_tab[image_id]
+    z = a * loc + jnp.abs(a) * scale * noise
+    ipred = z * z_f[refl_id] ** 2
+    sp = jax.nn.softplus(ipred)
+    s = sdfac * jnp.sqrt(sig ** 2 + sdb * sp + sdadd * sp ** 2)
+    if dof is None:
+        ll = (-0.5 * ((iobs - ipred) / s) ** 2 - jnp.log(s)
+              - 0.5 * jnp.log(2 * jnp.pi))
+    else:
+        import jax.scipy.stats as jstats
+        ll = jstats.t.logpdf(ipred, dof, loc=iobs, scale=s)
+    return jnp.sum(mask * ll)
+
+
+@pytest.mark.parametrize("kind,dof", [("normal_ev11", 0.0),
+                                      ("studentt_ev11", 5.0)])
+def test_ev11_parity(problem, kind, dof):
+    loc, scale, a_tab, z_f, refl_id, image_id, iobs, sig, mask, noise = problem
+    ev = (jnp.float32(1.3), jnp.float32(0.2), jnp.float32(0.7))
+
+    def f_fused(loc, scale, a_tab, z_f, ev):
+        return fused_likelihood_sum(loc, scale, a_tab, z_f, refl_id,
+                                    image_id, iobs, sig, mask, seed=0,
+                                    noise=noise, kind=kind, dof=dof, ev11=ev)
+
+    def f_ref(loc, scale, a_tab, z_f, ev):
+        return reference_ev11_ll_sum(
+            loc, scale, a_tab, z_f, refl_id, image_id, iobs, sig, mask,
+            noise, ev, dof=None if kind == "normal_ev11" else dof)
+
+    args = [jnp.asarray(x) for x in (loc, scale, a_tab, z_f)] + [ev]
+    np.testing.assert_allclose(float(f_fused(loc, scale, a_tab, z_f, ev)),
+                               float(f_ref(*args)), rtol=1e-5)
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(
+        loc, scale, a_tab, z_f, ev)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["dloc", "dscale", "da", "dzf", "dev11"]
+    for a, b, name in zip(g_fused, g_ref, names):
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_ev11_fused_elbo_matches_xla_path(rng):
+    """Full model with NormalEv11Likelihood: fused vs XLA elbo with shared
+    noise — the --refine-uncertainties production configuration."""
+    from careless_tpu.models.likelihoods.mono import NormalEv11Likelihood
+    inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=300)
+    inputs = inputs.sorted_by_refl().with_plans(n_refl, n_images)
+    model, params = make_model(inputs, n_refl, n_images,
+                               NormalEv11Likelihood(),
+                               scaler_kind="hybrid")
+    fused_model = model.__class__(**{**model.__dict__, "fused_kernel": True})
+    assert fused_model._fused_eligible(inputs)
+
+    key = jax.random.PRNGKey(0)
+    noise = rng.normal(size=inputs.n_obs).astype(np.float32)
+    loss_fused, m_fused = fused_model._elbo_fused(params, key, inputs,
+                                                  noise=jnp.asarray(noise))
+    loss_xla, m_xla = model.elbo(params, key, inputs)
+    # same z_f (same key) but the XLA path samples its own eps; compare the
+    # exact path instead: rebuild XLA ll with the shared noise
+    k_f, _ = jax.random.split(key)
+    q = model.posterior.distribution(params["posterior"])
+    z_f = q.sample(k_f, (1,))[0]
+    mlp_dist = model.scaler.mlp.apply(params["scaler"]["mlp"], inputs)
+    a = model.scaler.image.scales(params["scaler"]["image"])[inputs.image_id]
+    z = a * mlp_dist.loc + jnp.abs(a) * mlp_dist.scale * noise
+    ipred = z * jnp.square(z_f[inputs.refl_id])
+    lik = model.likelihood.build(params["likelihood"], inputs)
+    nll = -jnp.sum(lik.log_prob(ipred))
+    kl = jnp.sum(q.log_prob(z_f) - model.prior.log_prob(z_f))
+    np.testing.assert_allclose(float(loss_fused), float(nll + kl), rtol=1e-5)
+
+    # gradients w.r.t. the Ev11 raw params flow through the kernel
+    def loss_of(p):
+        return fused_model._elbo_fused(p, key, inputs,
+                                       noise=jnp.asarray(noise))[0]
+
+    g = jax.grad(loss_of)(params)["likelihood"]
+    assert all(np.isfinite(np.asarray(v)).all() and float(np.abs(v)) > 0
+               for v in g.values()), g
