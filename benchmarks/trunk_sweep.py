@@ -39,8 +39,8 @@ def main(n_obs=1_000_000):
             best = min(best, time.perf_counter() - t0)
         return best / ITERS * 1e3
 
-    for block, split in ((512, 128), (512, 256), (512, 512), (256, 128),
-                         (256, 256), (1024, 256)):
+    for block, split in ((512, 256), (512, 512), (1024, 256), (1024, 512),
+                         (2048, 512), (2048, 1024), (1024, 128)):
         fused_mlp.BLOCK_ROWS = block
         fused_mlp.SPLIT_ROWS = split
         scaler = MLPScaler(20, 10)

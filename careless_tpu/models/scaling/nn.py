@@ -139,5 +139,18 @@ class MLPScaler:
 
     def apply(self, params: dict, inputs: Inputs) -> Normal:
         packed = inputs.plans.meta if inputs.plans is not None else None
+        x = inputs.metadata
+        if (self.fused and x.ndim == 2 and self.n_layers >= 2
+                and max(x.shape[-1], self.width) >= 2):
+            # trunk + head in one kernel, flat (N,) outputs — avoids the
+            # lane-padded (N, width) intermediate (ops/fused_mlp.py)
+            from ...ops.fused_mlp import fused_mlp_trunk_head
+            loc, raw = fused_mlp_trunk_head(
+                x, params["layers"], params["out"], self.leakiness,
+                bf16=self.mlp_dtype == "bfloat16", packed=packed)
+            scale = self._biject_scale(raw)
+            if self.scale_multiplier is not None:
+                loc = loc + self.scale_multiplier
+            return Normal(loc, scale)
         return self.head(
             params, self.network(params, inputs.metadata, packed=packed))

@@ -83,28 +83,36 @@ def _split_slices(total_rows: int):
     return [slice(j * step, (j + 1) * step) for j in range(n)]
 
 
-def _fwd_kernel(n_layers: int, leakiness: float, bf16: bool):
+def _fwd_kernel(n_layers: int, leakiness: float, bf16: bool,
+                head: bool = False):
+    total = n_layers + (1 if head else 0)
+
     def kernel(x_ref, w_ref, b_ref, out_ref):
         # independent row-chains (see SPLIT_ROWS): each chain's layer loop
         # is a sequential MXU dependence; chains overlap in the scheduler
         sls = _split_slices(x_ref.shape[0])
         hs = [x_ref[s, :] for s in sls]
-        for l in range(n_layers):
+        for l in range(total):
             wl = w_ref[l]
             bl = b_ref[l:l + 1, :]
-            hs = [jnp.where(h >= 0, h, leakiness * h)
-                  for h in [_dot(h, wl, bf16) + bl for h in hs]]
+            hs = [_dot(h, wl, bf16) + bl for h in hs]
+            if l < n_layers:
+                # leaky-relu as max(h, a*h) (exact for a in (0,1)): one VPU
+                # op fewer than compare+select; the head layer is linear
+                hs = [jnp.maximum(h, leakiness * h) for h in hs]
         for s, h in zip(sls, hs):
             out_ref[s, :] = h
     return kernel
 
 
-def _bwd_kernel(n_layers: int, leakiness: float, bf16: bool):
+def _bwd_kernel(n_layers: int, leakiness: float, bf16: bool,
+                head: bool = False):
     """Recompute-in-VMEM backward: activations are rebuilt per block from
     x (an extra n_layers matmuls, ~1/3 of the backward's MXU issue) and
     never touch HBM. The stash-to-HBM alternative was measured SLOWER on
     v5e (+1.0 ms at 1M obs): the (L-1, B, 128) stash DMA does not overlap
     — trading issue cycles for serialized HBM traffic loses."""
+    total = n_layers + (1 if head else 0)
 
     def kernel(x_ref, w_ref, b_ref, dy_ref, dx_ref, dw_ref, db_ref):
         i = pl.program_id(0)
@@ -117,19 +125,23 @@ def _bwd_kernel(n_layers: int, leakiness: float, bf16: bool):
         sls = _split_slices(x_ref.shape[0])
         # recompute forward per chain, keeping every activation in VMEM
         acts = [[x_ref[s, :]] for s in sls]
-        for l in range(n_layers):
+        for l in range(total):
             wl = w_ref[l]
             bl = b_ref[l:l + 1, :]
             for a in acts:
                 h = _dot(a[-1], wl, bf16) + bl
-                a.append(jnp.where(h >= 0, h, leakiness * h))
+                a.append(jnp.maximum(h, leakiness * h) if l < n_layers
+                         else h)
 
         dhs = [dy_ref[s, :] for s in sls]
-        for l in range(n_layers - 1, -1, -1):
+        for l in range(total - 1, -1, -1):
             wl = w_ref[l]
-            # leaky_relu'(pre): act and pre share sign (leakiness > 0)
-            dpres = [dh * jnp.where(a[l + 1] >= 0, 1.0, leakiness)
-                     for dh, a in zip(dhs, acts)]
+            if l < n_layers:
+                # leaky_relu'(pre): act and pre share sign (leakiness > 0)
+                dpres = [dh * jnp.where(a[l + 1] >= 0, 1.0, leakiness)
+                         for dh, a in zip(dhs, acts)]
+            else:
+                dpres = dhs  # linear head layer
             dw = _dot(acts[0][l], dpres[0], bf16,
                       dims=(((0,), (0,)), ((), ())))
             for a, dpre in zip(acts[1:], dpres[1:]):
@@ -155,16 +167,17 @@ def _specs(n_rows: int, n_layers: int):
     return grid, blk, w_spec, b_spec
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _trunk(n_rows, leakiness, bf16, x, w, b):
-    return _trunk_fwd(n_rows, leakiness, bf16, x, w, b)[0]
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _trunk(n_rows, leakiness, bf16, head, x, w, b):
+    return _trunk_fwd(n_rows, leakiness, bf16, head, x, w, b)[0]
 
 
-def _trunk_fwd(n_rows, leakiness, bf16, x, w, b):
-    n_layers = w.shape[0]
-    grid, blk, w_spec, b_spec = _specs(n_rows, n_layers)
+def _trunk_fwd(n_rows, leakiness, bf16, head, x, w, b):
+    total = w.shape[0]
+    n_layers = total - (1 if head else 0)
+    grid, blk, w_spec, b_spec = _specs(n_rows, total)
     out = pl.pallas_call(
-        _fwd_kernel(n_layers, leakiness, bf16),
+        _fwd_kernel(n_layers, leakiness, bf16, head),
         grid=grid,
         in_specs=[blk(), w_spec, b_spec],
         out_specs=blk(),
@@ -174,19 +187,20 @@ def _trunk_fwd(n_rows, leakiness, bf16, x, w, b):
     return out, (x, w, b)
 
 
-def _trunk_bwd(n_rows, leakiness, bf16, res, dy):
+def _trunk_bwd(n_rows, leakiness, bf16, head, res, dy):
     x, w, b = res
-    n_layers = w.shape[0]
-    grid, blk, w_spec, b_spec = _specs(n_rows, n_layers)
+    total = w.shape[0]
+    n_layers = total - (1 if head else 0)
+    grid, blk, w_spec, b_spec = _specs(n_rows, total)
     dx, dw, db = pl.pallas_call(
-        _bwd_kernel(n_layers, leakiness, bf16),
+        _bwd_kernel(n_layers, leakiness, bf16, head),
         grid=grid,
         in_specs=[blk(), w_spec, b_spec, blk()],
         out_specs=(blk(), w_spec, b_spec),
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_layers, LANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_layers, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((total, LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((total, LANES), jnp.float32),
         ),
         interpret=_interpret(),
     )(x, w, b, dy)
@@ -276,25 +290,62 @@ def fused_mlp_trunk(x, layers, leakiness: float, bf16: bool = False,
     w, b = pack_params(layers, d_slot, group)
 
     # INVARIANT: a PackedMeta must have been packed from exactly this x.
-    # The check below is geometric only (x may be traced here, so content
-    # cannot be compared at trace time); Inputs.replace() enforces the
-    # invariant by dropping plans whenever a plan-source field is replaced.
-    if (packed is not None and packed.n == n and packed.d_in == d_in
-            and packed.d_slot == d_slot and packed.group == group):
-        x2d = packed.x2d
-    else:
-        # pack observations g-per-row: obs o -> (row o//g, slot o%g)
-        x_pad = jnp.zeros((n_rows * group, d_slot), jnp.float32)
-        x_pad = x_pad.at[:n, :d_in].set(x)
-        x2d = jnp.zeros((n_rows, LANES), jnp.float32)
-        x2d = x2d.at[:, :group * d_slot].set(
-            x_pad.reshape(n_rows, group * d_slot))
+    # The check is geometric only (x may be traced here, so content cannot
+    # be compared at trace time); Inputs.replace() enforces the invariant
+    # by dropping plans whenever a plan-source field is replaced.
+    x2d = _pack_x2d(x, n, d_in, d_slot, group, n_rows, packed)
 
-    h = _trunk(int(n_rows), float(leakiness), bool(bf16), x2d, w, b)
+    h = _trunk(int(n_rows), float(leakiness), bool(bf16), False, x2d, w, b)
 
     # unpack: slot j's output lanes [j*D, j*D+width)
     h = h[:, :group * d_slot].reshape(n_rows * group, d_slot)[:n, :width]
     return h
+
+
+def _pack_x2d(x, n, d_in, d_slot, group, n_rows,
+              packed: Optional[PackedMeta]):
+    # INVARIANT: a PackedMeta must have been packed from exactly this x
+    # (see fused_mlp_trunk); geometric match only — x may be traced here
+    if (packed is not None and packed.n == n and packed.d_in == d_in
+            and packed.d_slot == d_slot and packed.group == group):
+        return packed.x2d
+    x_pad = jnp.zeros((n_rows * group, d_slot), jnp.float32)
+    x_pad = x_pad.at[:n, :d_in].set(x)
+    x2d = jnp.zeros((n_rows, LANES), jnp.float32)
+    return x2d.at[:, :group * d_slot].set(
+        x_pad.reshape(n_rows, group * d_slot))
+
+
+def fused_mlp_trunk_head(x, layers, out_layer, leakiness: float,
+                         bf16: bool = False,
+                         packed: Optional[PackedMeta] = None):
+    """Trunk + linear output head in ONE kernel pass, returning FLAT (N,)
+    (loc_raw, scale_raw) — never materializing an (N, width) intermediate.
+
+    Rationale (measured, benchmarks/PERF_NOTES.md): XLA lane-pads an
+    (N, 10) f32 array to (N, 128) tiles, so every head/unpack pass over the
+    old (N, width) intermediate moved ~12.8x the useful bytes — 2.3 ms of
+    the 5.6 ms trunk+head fwd+bwd at 1M obs. Folding the head into the
+    kernel as one more block-diagonal matmul (no activation) keeps
+    everything in the packed (rows, 128) layout; the per-slot (loc, raw)
+    lanes are extracted with strided lane slices into flat 1-D arrays,
+    which have no lane padding.
+
+    out_layer: {'w': (width, 2), 'b': (2,)} — the reference's final linear
+    layer (nn.py:70-90).
+    """
+    n, d_in = x.shape
+    width = layers[0]["w"].shape[1]
+    d_slot, group, n_rows = pack_geometry(n, d_in, width)
+    w, b = pack_params(list(layers) + [out_layer], d_slot, group)
+    x2d = _pack_x2d(x, n, d_in, d_slot, group, n_rows, packed)
+
+    y2d = _trunk(int(n_rows), float(leakiness), bool(bf16), True, x2d, w, b)
+
+    span = group * d_slot
+    loc = y2d[:, 0:span:d_slot].reshape(-1)[:n]
+    raw = y2d[:, 1:span:d_slot].reshape(-1)[:n]
+    return loc, raw
 
 
 def fused_eligible(x, n_layers: int) -> bool:
