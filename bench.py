@@ -232,8 +232,10 @@ def roofline(n_obs, d_meta, mlp_layers, mlp_width, fused, device_kind):
     essential = n_obs * (12 + 8)
     if fused:
         packed = packed_rows * 128 * 4
-        trunk_traffic = 5 * packed          # x2d fwd+bwd reads, h, dy, dx
-        head = 6 * 4 * n_obs                # unpack + head fwd/bwd passes
+        # x2d fwd+bwd reads, y2d write, dy read, dx write; the head is
+        # folded into the kernel and loc/scale leave as flat (N,) arrays
+        trunk_traffic = 5 * packed
+        head = 4 * 4 * n_obs                # flat loc/raw extraction fwd/bwd
         chain = 4 * 4 * n_obs
         mlp_bytes = trunk_traffic + head
     else:
@@ -246,7 +248,8 @@ def roofline(n_obs, d_meta, mlp_layers, mlp_width, fused, device_kind):
 
     peak = _lookup(MEASURED_PEAK_TFLOPS, device_kind)
     if peak:
-        issue_rows = packed_rows * mlp_layers * 4   # fwd + 3x bwd
+        # fwd + 3x bwd over mlp_layers + 1 (the folded head layer)
+        issue_rows = packed_rows * (mlp_layers + 1) * 4
         sol_mxu = issue_rows * 128 * 128 * 2 / (peak * 1e12)
     else:
         sol_mxu = None
