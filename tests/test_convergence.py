@@ -33,8 +33,9 @@ def test_converged_cchalf(converged_run, tmp_path):
         [converged_run + "_xval_0.mtz", "-m", "pearson", "--overall",
          "-b", "1", "-o", str(tmp_path / "cchalf.csv")]))
     cc = float(res["CChalf"].iloc[0])
-    # measured: ~0.74 (rounds 2-3, seed 1234); floor leaves drift margin
-    assert cc > 0.6, f"converged CC1/2 too low: {cc} (measured ~0.74)"
+    # measured: ~0.74 (rounds 2-4, seed 1234); floor tightened in round 4
+    # after three rounds of stable measurements (VERDICT r3 Weak #6)
+    assert cc > 0.68, f"converged CC1/2 too low: {cc} (measured ~0.74)"
 
 
 @pytest.mark.slow
@@ -45,13 +46,50 @@ def test_converged_ccpred(converged_run, tmp_path):
          "-o", str(tmp_path / "ccpred.csv")]))
     train_cc = float(res.loc[res["test"] == "Train", "CCpred"].iloc[0])
     test_cc = float(res.loc[res["test"] == "Test", "CCpred"].iloc[0])
-    # measured: ~0.93 train (rounds 2-3, seed 1234)
-    assert train_cc > 0.85, \
+    # measured: ~0.93 train (rounds 2-4, seed 1234)
+    assert train_cc > 0.90, \
         f"converged train CCpred too low: {train_cc} (measured ~0.93)"
     # the 10% test split of this tiny dataset is noisy; require it exists
     # and is positively correlated
     assert np.isfinite(test_cc) and test_cc > 0.0, \
         f"test CCpred not positive: {test_cc}"
+
+
+@pytest.fixture(scope="module")
+def converged_poly_run(tmp_path_factory, pyp_off_mtz, pyp_2ms_mtz):
+    out = str(tmp_path_factory.mktemp("converged_poly") / "out")
+    main(["poly", "dHKL,image_id", pyp_off_mtz, pyp_2ms_mtz, out,
+          "--iterations=2000",
+          "--merge-half-datasets", "--half-dataset-repeats=1",
+          "--test-fraction=0.1",
+          "--disable-progress-bar"])
+    return out
+
+
+@pytest.mark.slow
+def test_converged_poly_quality(converged_poly_run, tmp_path):
+    """End-to-end Laue pipeline quality at convergence (VERDICT r3 Weak
+    #6: the poly path previously had only a 10-iteration liveness gate).
+    Measured at 2000 steps on the pyp pair: CChalf ~= 0.90, CCpred train
+    ~= 0.93, test ~= 0.38."""
+    from careless_tpu.stats.cchalf import ArgumentParser, run_analysis
+    res = run_analysis(ArgumentParser().parse_args(
+        [converged_poly_run + "_xval_0.mtz", "-m", "pearson", "--overall",
+         "-b", "1", "-o", str(tmp_path / "cchalf.csv")]))
+    cc = float(res["CChalf"].iloc[0])
+    assert cc > 0.75, f"converged poly CC1/2 too low: {cc} (measured ~0.90)"
+
+    from careless_tpu.stats.ccpred import ArgumentParser as AP2, \
+        run_analysis as RA2
+    res = RA2(AP2().parse_args(
+        [converged_poly_run + "_predictions_0.mtz", "--overall", "-b", "1",
+         "-o", str(tmp_path / "ccpred.csv")]))
+    train_cc = float(res.loc[res["test"] == "Train", "CCpred"].iloc[0])
+    test_cc = float(res.loc[res["test"] == "Test", "CCpred"].iloc[0])
+    assert train_cc > 0.88, \
+        f"converged poly train CCpred too low: {train_cc} (measured ~0.93)"
+    assert np.isfinite(test_cc) and test_cc > 0.0, \
+        f"poly test CCpred not positive: {test_cc}"
 
 
 @pytest.mark.slow
