@@ -344,17 +344,15 @@ def main():
     unfused = run("unfused", 75, _unfused)
 
     # BASELINE config 3: Laue (poly) on the production planned path
+    # (one-hot MXU refl gather + sort backward + run-aligned convolution)
     laue_steps = max(steps // 2, 100)
 
-    def _laue(plans=True, fused_kernel=True):
+    def _laue(plans=True):
         def f():
-            _, p, t, i = build_problem(n_obs, n_refl, laue=True, plans=plans,
-                                       fused=fused_kernel)
+            _, p, t, i = build_problem(n_obs, n_refl, laue=True, plans=plans)
             return bench_scan(t, p, i, laue_steps, chunk)
         return f
-    if on_tpu:
-        run("laue_fused", 90, _laue(plans=True, fused_kernel=True))
-    run("laue_planned", 90, _laue(plans=True, fused_kernel=False))
+    run("laue_planned", 90, _laue(plans=True))
 
     if on_tpu:
         # BASELINE config 2 flavor: Student-t likelihood, fused
@@ -408,7 +406,7 @@ def main():
             return bench_scan(t, p, i, steps, chunk)
         run("fused_bf16_mlp", 75, _bf16)
 
-    run("laue_xla", 120, _laue(plans=False, fused_kernel=False))
+    run("laue_xla", 120, _laue(plans=False))
 
     # ------------------------------------------------------------ summary
     # headline: best production configuration on the reference-default
