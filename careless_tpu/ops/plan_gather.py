@@ -157,9 +157,13 @@ def make_gather_plan(ids, table_size: int) -> GatherPlan:
     starts = np.searchsorted(sorted_ids, rng, side="left").astype(np.int32)
     ends = np.searchsorted(sorted_ids, rng, side="right").astype(np.int32)
 
-    ids2d, bases, window = _plan_windows(ids, table_size, is_sorted)
+    # suppress the fallback warning when the one-hot MXU forward will take
+    # over anyway (windowless layouts over VMEM-scale tables)
+    mxu_ok = -(-table_size // LANES) <= MAX_MXU_GATHER_ROWS
+    ids2d, bases, window = _plan_windows(ids, table_size, is_sorted,
+                                         warn=not mxu_ok)
     mxu = False
-    if ids2d is None and -(-table_size // LANES) <= MAX_MXU_GATHER_ROWS:
+    if ids2d is None and mxu_ok:
         # windowless layout (ids too spread) but the table is VMEM-scale:
         # forward via the one-hot MXU gather instead of the serialized take
         ids2d = _pad_ids2d(ids)
