@@ -408,6 +408,17 @@ def main():
 
     run("laue_xla", 120, _laue(plans=False))
 
+    if on_tpu and not quick:
+        # BASELINE config 5 scale: 10M observations / 500k reflections /
+        # 20k images (serial crystallography). The image-scale backward
+        # dominates here (20k-image table exceeds the histogram cap, so
+        # the scatter runs sort+segment-sum at ~1.9 ms/M)
+        def _big():
+            _, p, t, i = build_problem(10_000_000, 500_000,
+                                       n_images=20_000, fused=True)
+            return bench_scan(t, p, i, 60, 30)
+        run("fused_10M_obs", 150, _big)
+
     # ------------------------------------------------------------ summary
     # headline: best production configuration on the reference-default
     # 20x10 MLP mono-Normal workload
