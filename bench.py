@@ -300,8 +300,10 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     device_kind = jax.devices()[0].device_kind
-    skipped = []
-    results = {}
+    # registered in _RESULT up front (mutated in place) so the SIGTERM
+    # salvage path emits every measurement completed so far
+    skipped = _RESULT["skipped"] = []
+    results = _RESULT["elbo_steps_per_s"] = {}
 
     def run(name, est_s, fn, always=False):
         """Run one timed config if the budget allows; never let one config's

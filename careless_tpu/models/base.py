@@ -65,8 +65,11 @@ class Inputs(NamedTuple):
 
     # fields the gather plans are derived from: replacing any of these with
     # stale plans attached would silently compute on wrong indices/metadata
+    # (intensities/uncertainties/mask feed the Laue ConvRunPlan's baked
+    # row-broadcast values and masks, ops/conv_runs.py)
     _PLAN_SOURCE_FIELDS = frozenset(
-        ("refl_id", "image_id", "metadata", "harmonic_id"))
+        ("refl_id", "image_id", "metadata", "harmonic_id",
+         "intensities", "uncertainties", "mask"))
 
     def replace(self, **kwargs) -> "Inputs":
         """_replace that preserves the plan invariant: plans always travel

@@ -57,7 +57,13 @@ class ConvolvedLikelihood:
         likelihood term. With a run plan this is the gather-free form:
         log-probs at run-start rows plus the static never-hit tail
         (identical by construction to sum(log_prob(ipred) * mask), see
-        ops/conv_runs.py); otherwise the plain convolved sum."""
+        ops/conv_runs.py); otherwise the plain convolved sum.
+
+        NOTE: the run path uses the mask BAKED into the plan (built by
+        with_plans from the same Inputs); `mask` must equal it. The
+        invariant is enforced upstream: Inputs.replace() drops plans when
+        mask/intensities/uncertainties change (base.py _PLAN_SOURCE_FIELDS).
+        """
         rp = self.run_plan
         if rp is None or self.row_distribution is None:
             ll = self.log_prob(ipred)

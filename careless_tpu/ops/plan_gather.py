@@ -174,7 +174,9 @@ def make_gather_plan(ids, table_size: int) -> GatherPlan:
         perm=None if perm is None else perm,
         starts=starts, ends=ends,
         ids2d=ids2d, bases=bases, window=window, hist=hist, mxu=mxu,
-        sort_keys=ids.astype(np.int32),
+        # dead weight when the permute is identity (sorted training rows):
+        # _apply_perm never reads keys with perm None
+        sort_keys=None if is_sorted else ids.astype(np.int32),
         bnd=make_boundary_plan(starts, n))
 
 
