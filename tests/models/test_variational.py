@@ -257,3 +257,27 @@ def test_sorted_by_harmonic_preserves_group_packing(rng):
     # per-row fields travel with their row
     np.testing.assert_array_equal(
         np.sort(np.asarray(s.refl_id)), np.sort(np.asarray(scrambled.refl_id)))
+
+
+def test_laue_planned_path_mc_samples_matches_unplanned():
+    """mc_samples > 1 on the planned Laue path: the one-hot MXU gather
+    unrolls per sample over the batched z_f table and the run-aligned ll
+    sums over the sample axis — must equal the plain XLA path exactly."""
+    rng = np.random.default_rng(23)
+    inputs, n_refl, n_images = synthetic_inputs(rng, n_obs=300, laue=True)
+    model, params = make_model(inputs, n_refl, n_images,
+                               laue_lik.NormalLikelihood(), "hybrid",
+                               mc_samples=3)
+    base = inputs.sorted_by_harmonic()
+    planned = base.with_plans(n_refl, n_images)
+    assert planned.plans.harmonic_run is not None
+    key = jax.random.PRNGKey(11)
+    (l0, _), g0 = jax.value_and_grad(model.elbo, has_aux=True)(
+        params, key, base)
+    (l1, _), g1 = jax.value_and_grad(model.elbo, has_aux=True)(
+        params, key, planned)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=str(k))
