@@ -15,6 +15,21 @@ args_and_kwargs = (
         "type": int,
         "default": 1,
     }),
+    (("--checkpoint-every",), {
+        "help": "Save a mid-run training checkpoint (parameters, optimizer "
+                "state, step, history) to {output_base}_checkpoint.npz "
+                "every N steps (0 = off, the reference behavior: weights "
+                "are only written at the end of the run).",
+        "type": int,
+        "default": 0,
+    }),
+    (("--resume-from",), {
+        "help": "Resume training from a *_checkpoint.npz written by "
+                "--checkpoint-every; reproduces the uninterrupted run "
+                "exactly (per-step RNG keys are absolute-step-indexed).",
+        "type": str,
+        "default": None,
+    }),
     (("--structure-factor-file",), {
         "help": "Warm-start the structure factor posterior from a "
                 "*_structure_factor.npz file written by an earlier run.",

@@ -76,6 +76,10 @@ def run_careless(parser):
             message="Training",
             chunk_size=parser.steps_per_compile,
             mesh=mesh,
+            checkpoint_path=(parser.output_base + "_checkpoint"
+                             if parser.checkpoint_every else None),
+            checkpoint_frequency=parser.checkpoint_every,
+            resume_from=parser.resume_from,
         )
 
     posterior_dist = model.posterior.distribution(params["posterior"])

@@ -684,15 +684,31 @@ class Trainer:
               progress: bool = True,
               message: Optional[str] = None,
               chunk_size: int = 100,
-              mesh=None) -> Tuple[dict, Dict[str, list]]:
+              mesh=None,
+              checkpoint_path: Optional[str] = None,
+              checkpoint_frequency: int = 0,
+              resume_from: Optional[str] = None
+              ) -> Tuple[dict, Dict[str, list]]:
         """Run `steps` optimization steps; returns (params, history).
         mesh: enables the shard_map fast path for mesh-sharded inputs with
-        per-shard plans (see make_step)."""
+        per-shard plans (see make_step).
+
+        checkpoint_path/_frequency: save (params, opt state, step, history)
+        every ~frequency steps; resume_from restores such a checkpoint and
+        continues. Per-step PRNG keys are folded from the ABSOLUTE step
+        index, so a resumed run reproduces the uninterrupted one exactly.
+        """
         opt = self.optimizer()
         # run_chunk donates params/opt_state; copy so the caller's pytree
         # survives (and so opt_state starts device-resident)
         params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         opt_state = opt.init(params)
+        start_step = 0
+        resumed_history = None
+        if resume_from is not None:
+            from ...utils.checkpoint import load_state
+            params, opt_state, start_step, resumed_history = load_state(
+                resume_from, params, opt_state)
         # host-resident inputs would be re-transferred on EVERY chunk call
         # (jit transfers uncommitted arrays per dispatch); move them to the
         # device once. Arrays that are already jax.Arrays (e.g. mesh-sharded
@@ -728,10 +744,15 @@ class Trainer:
         history: Dict[str, list] = {k: [] for k in metric_keys}
         if validation_data is not None:
             history["NLL_val"] = []
+        if resumed_history is not None:
+            for k, v in resumed_history.items():
+                history[k] = list(v)
 
         from tqdm import tqdm
-        bar = tqdm(total=steps, desc=message, disable=not progress)
-        done = 0
+        bar = tqdm(total=steps, initial=start_step, desc=message,
+                   disable=not progress)
+        done = start_step
+        last_ckpt = start_step
         key_base = key
         aborted = False
         while done < steps and not aborted:
@@ -763,5 +784,11 @@ class Trainer:
                 for k in history:
                     history[k] = history[k][:n_keep]
                 aborted = True
+            if (checkpoint_path and checkpoint_frequency > 0
+                    and (done - last_ckpt >= checkpoint_frequency
+                         or done >= steps or aborted)):
+                from ...utils.checkpoint import save_state
+                save_state(checkpoint_path, params, opt_state, done, history)
+                last_ckpt = done
         bar.close()
         return params, history

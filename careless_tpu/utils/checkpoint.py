@@ -34,6 +34,58 @@ def save_params(path: str, params: Any) -> None:
     np.savez(path, **arrays)
 
 
+def save_state(path: str, params: Any, opt_state: Any, step: int,
+               history: dict) -> None:
+    """Mid-run training checkpoint: params + optimizer state + step +
+    history (SURVEY §5.4's recommended extension — the reference only
+    warm-starts from final weights). One .npz; atomic via temp rename."""
+    import os
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    arrays = {}
+    for prefix, tree in (("params", params), ("opt", opt_state)):
+        for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            arrays[prefix + "/" + _path_str(p)] = np.asarray(v)
+    arrays["__step__"] = np.int64(step)
+    for k, v in history.items():
+        arrays["history/" + k] = np.asarray(v, np.float64)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def load_state(path: str, params_like: Any, opt_state_like: Any):
+    """Restore (params, opt_state, step, history) saved by save_state;
+    pytrees are shape-checked against the provided structures."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path) as data:
+        stored = dict(data)
+
+    def restore(prefix, like):
+        flat, _ = jax.tree_util.tree_flatten_with_path(like)
+        out = []
+        for p, v in flat:
+            key = prefix + "/" + _path_str(p)
+            if key not in stored:
+                raise KeyError(f"checkpoint {path} missing {key}")
+            arr = stored[key]
+            if arr.shape != np.shape(v):
+                raise ValueError(
+                    f"checkpoint {path} {key} has shape {arr.shape}, "
+                    f"expected {np.shape(v)}")
+            out.append(jax.numpy.asarray(arr, np.asarray(v).dtype))
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(like), out)
+
+    params = restore("params", params_like)
+    opt_state = restore("opt", opt_state_like)
+    step = int(stored["__step__"])
+    history = {k[len("history/"):]: stored[k].tolist()
+               for k in stored if k.startswith("history/")}
+    return params, opt_state, step, history
+
+
 def load_params(path: str, like: Any) -> Any:
     """Load a checkpoint into the structure of `like` (shape-checked)."""
     if not path.endswith(".npz"):
