@@ -163,12 +163,14 @@ class VariationalMergingModel:
 
         refl_plan = inputs.plans.refl if inputs.plans else None
         if self.mc_samples == 1:
-            # flat gather keeps the 1-D fast forwards (windowed / one-hot
-            # MXU) engaged; batched tables fall back per sample
-            z_obs = plan_gather(z_f[0], inputs.refl_id, refl_plan)[None]
+            # flat (N,) chain: keeps the 1-D fast gather forwards engaged
+            # AND avoids (1, N)-shaped pointwise ops, which XLA handles
+            # ~25% slower than flat (benchmarks/PERF_NOTES.md)
+            z_obs = plan_gather(z_f[0], inputs.refl_id, refl_plan)
+            ipred = z_scale[0] * jnp.square(z_obs)            # (N,)
         else:
             z_obs = plan_gather(z_f, inputs.refl_id, refl_plan)
-        ipred = z_scale * jnp.square(z_obs)                   # (S, N)
+            ipred = z_scale * jnp.square(z_obs)               # (S, N)
 
         likelihood = self.likelihood.build(params.get("likelihood", {}), inputs)
         ll_total = self._masked_ll_sum(likelihood, ipred, inputs.mask)
