@@ -54,11 +54,12 @@ args_and_kwargs = (
     }),
     (("--fused-kernel",), {
         "help": "Use the fused Pallas likelihood kernel for the ELBO inner "
-                "loop when the configuration supports it (Normal likelihood "
-                "with an MLP or hybrid-image scaler). 'auto' (default) "
-                "enables it on TPU backends only; 'on' forces it (off-TPU "
-                "runs use the slow interpreter, tests only); 'off' always "
-                "uses the plain XLA path.",
+                "loop (Normal/Laplace/StudentT/Ev11 likelihood with an MLP "
+                "or hybrid-image scaler). Since the trunk-head fold the "
+                "plain XLA chain measures slightly faster on v5e, so "
+                "'auto' (default) now selects the XLA path like 'off'; "
+                "'on' forces the kernel (off-TPU it runs the slow "
+                "interpreter, tests only).",
         "type": str,
         "default": "auto",
         "choices": ["auto", "on", "off"],

@@ -160,10 +160,12 @@ class DataManager:
             else:
                 scaler = mlp
 
+        # post-head-folding the plain XLA chain measures FASTER than the
+        # fused likelihood kernel at every size (benchmarks/PERF_NOTES.md
+        # round-4: 280 vs 273 steps/s at 1M obs), so 'auto' now selects the
+        # XLA path; the kernel stays available via 'on'
         fused_flag = getattr(parser, "fused_kernel", "auto")
-        fused = (fused_flag == "on"
-                 or (fused_flag == "auto"
-                     and jax.default_backend() == "tpu"))
+        fused = fused_flag == "on"
 
         model = VariationalMergingModel(
             posterior=posterior, prior=prior, likelihood=likelihood,
