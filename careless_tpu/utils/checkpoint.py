@@ -62,28 +62,32 @@ def load_state(path: str, params_like: Any, opt_state_like: Any):
     with np.load(path) as data:
         stored = dict(data)
 
-    def restore(prefix, like):
-        flat, _ = jax.tree_util.tree_flatten_with_path(like)
-        out = []
-        for p, v in flat:
-            key = prefix + "/" + _path_str(p)
-            if key not in stored:
-                raise KeyError(f"checkpoint {path} missing {key}")
-            arr = stored[key]
-            if arr.shape != np.shape(v):
-                raise ValueError(
-                    f"checkpoint {path} {key} has shape {arr.shape}, "
-                    f"expected {np.shape(v)}")
-            out.append(jax.numpy.asarray(arr, np.asarray(v).dtype))
-        return jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(like), out)
-
-    params = restore("params", params_like)
-    opt_state = restore("opt", opt_state_like)
+    params = _restore_tree(stored, params_like, path, prefix="params/")
+    opt_state = _restore_tree(stored, opt_state_like, path, prefix="opt/")
     step = int(stored["__step__"])
     history = {k[len("history/"):]: stored[k].tolist()
                for k in stored if k.startswith("history/")}
     return params, opt_state, step, history
+
+
+def _restore_tree(stored: dict, like: Any, path: str,
+                  prefix: str = "") -> Any:
+    """Rebuild a pytree of `like`'s structure from path-keyed arrays
+    (shape-checked; dtypes follow `like`)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(like)
+    out = []
+    for p, v in flat:
+        key = prefix + _path_str(p)
+        if key not in stored:
+            raise KeyError(f"checkpoint {path} missing parameter {key}")
+        arr = stored[key]
+        if arr.shape != np.shape(v):
+            raise ValueError(
+                f"checkpoint {path} parameter {key} has shape {arr.shape}, "
+                f"expected {np.shape(v)}")
+        out.append(jax.numpy.asarray(arr, np.asarray(v).dtype))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like), out)
 
 
 def load_params(path: str, like: Any) -> Any:
@@ -92,17 +96,4 @@ def load_params(path: str, like: Any) -> Any:
         path = path + ".npz"
     with np.load(path) as data:
         stored = dict(data)
-    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
-    out = []
-    for p, v in flat:
-        key = _path_str(p)
-        if key not in stored:
-            raise KeyError(f"checkpoint {path} missing parameter {key}")
-        arr = stored[key]
-        if arr.shape != np.shape(v):
-            raise ValueError(
-                f"checkpoint {path} parameter {key} has shape {arr.shape}, "
-                f"expected {np.shape(v)}")
-        out.append(jax.numpy.asarray(arr))
-    return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(like), out)
+    return _restore_tree(stored, like, path)
