@@ -359,11 +359,13 @@ class VariationalMergingModel:
                         kind=kind, dof=dof, ev11=ev11)
             else:
                 scale_dist = model.scaler.apply(scaler_params, local)
-                z_scale = scale_dist.loc + scale_dist.scale * eps   # (S, w)
                 if mc == 1:
+                    # flat (w,) chain — same rationale as the unsharded elbo
+                    z_scale = scale_dist.loc + scale_dist.scale * eps[0]
                     z_obs = plan_gather(z_f[0], local.refl_id,
-                                        plans_local.refl)[None]
+                                        plans_local.refl)
                 else:
+                    z_scale = scale_dist.loc + scale_dist.scale * eps
                     z_obs = plan_gather(z_f, local.refl_id, plans_local.refl)
                 ipred = z_scale * jnp.square(z_obs)
                 lik = model.likelihood.build(lik_params, local)
@@ -481,15 +483,14 @@ class VariationalMergingModel:
                         ev11=ev11)
             else:
                 scale_dist = model.scaler.apply(scaler_params, local)
-                z_scale = scale_dist.loc + scale_dist.scale * eps
+                refl_plan = plans.refl if plans is not None else None
                 if mc_local == 1:
-                    z_obs = plan_gather(
-                        z_f[0], local.refl_id,
-                        plans.refl if plans is not None else None)[None]
+                    # flat (N,) chain — same rationale as the unsharded elbo
+                    z_scale = scale_dist.loc + scale_dist.scale * eps[0]
+                    z_obs = plan_gather(z_f[0], local.refl_id, refl_plan)
                 else:
-                    z_obs = plan_gather(
-                        z_f, local.refl_id,
-                        plans.refl if plans is not None else None)
+                    z_scale = scale_dist.loc + scale_dist.scale * eps
+                    z_obs = plan_gather(z_f, local.refl_id, refl_plan)
                 ipred = z_scale * jnp.square(z_obs)
                 lik = model.likelihood.build(lik_params, local)
                 ll_sum = model._masked_ll_sum(lik, ipred, local.mask)
