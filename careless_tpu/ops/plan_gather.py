@@ -243,17 +243,20 @@ def _onehot_histogram(ct: Array, ids2d: Array, table_size: int) -> Array:
 
     The naive one-hot matmul (ct (1,K) @ onehot (K,T)) is bound by GENERATING
     the K*T one-hot on the VPU (2G comparisons for 1M x 2048 — measured
-    2x1.95 ms on v5e). Factor the id instead: id = hi*128 + lo. Per
+    2x1.95 ms on v5e). Factor the id instead: id = hi*W + lo. Per
     observation tile,
 
-        A[h, k] = ct[k] * [hi_k == h]     (t_rows x K  — t_rows = T/128
-                                           comparisons per element, 16x fewer)
-        B[k, l] = [lo_k == l]             (K x 128     — 128 per element)
-        tile histogram = A @ B            ((t_rows, 128) = the whole table)
+        A[h, k] = ct[k] * [hi_k == h]     (t_rows x K, t_rows = ceil(T/W))
+        B[k, l] = [lo_k == l]             (K x W)
+        tile histogram = A @ B            ((t_rows, W) = the whole table)
 
-    so the comparison count drops from K*T to K*(T/128 + 128) and the MXU
+    so the comparison count drops from K*T to K*(T/W + W) and the MXU
     contraction does the rest. Row h of A@B collects exactly the entries
     with hi==h into lanes lo — every (h, l) pair is one table id.
+
+    Both factors materialize in HBM as dot operands, so the traffic is
+    K*(T/W + W)*4 bytes — minimized at W ~ sqrt(T), NOT at the lane width:
+    W=64 measures 0.49 ms/M at T=2000 vs 0.97 for W=128 (same 7e-8 error).
 
     Precision: operands stay f32 with HIGHEST matmul precision (the one-hot
     factors are exact in any dtype; ct keeps full mantissa). Measured on
@@ -261,19 +264,23 @@ def _onehot_histogram(ct: Array, ids2d: Array, table_size: int) -> Array:
     accurate (see benchmarks/PERF_NOTES.md).
     """
     total = ids2d.size
-    t_rows = -(-table_size // LANES)
+    # balance the two factors' traffic: W = power of two nearest sqrt(T),
+    # clamped to the measured-good range
+    w = int(2 ** round(np.log2(max(np.sqrt(table_size), 1))))
+    w = min(max(w, 16), 128)
+    t_rows = -(-table_size // w)
     ct = jnp.concatenate([ct, jnp.zeros(total - ct.shape[0], ct.dtype)])
     v = ct.reshape(-1, BLOCK_OBS)
     ii = ids2d.reshape(-1, BLOCK_OBS)
     hi_iota = jnp.arange(t_rows, dtype=ids2d.dtype)
-    lo_iota = jnp.arange(LANES, dtype=ids2d.dtype)
+    lo_iota = jnp.arange(w, dtype=ids2d.dtype)
 
     def body(acc, args):
         vv, idx = args
-        hi = idx // LANES
-        lo = idx % LANES
+        hi = idx // w
+        lo = idx % w
         a = vv[None, :] * (hi[None, :] == hi_iota[:, None])  # (t_rows, K)
-        b = (lo[:, None] == lo_iota[None, :]).astype(vv.dtype)  # (K, 128)
+        b = (lo[:, None] == lo_iota[None, :]).astype(vv.dtype)  # (K, W)
         return acc + jnp.dot(a, b, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST), ()
 
@@ -281,9 +288,9 @@ def _onehot_histogram(ct: Array, ids2d: Array, table_size: int) -> Array:
     # scan's per-iteration sequencing overhead is comparable, so let XLA
     # software-pipeline 8 tiles at a time
     out, _ = jax.lax.scan(
-        body, jnp.zeros((t_rows, LANES), jnp.float32), (v, ii),
+        body, jnp.zeros((t_rows, w), jnp.float32), (v, ii),
         unroll=min(8, v.shape[0]))
-    return out.reshape(t_rows * LANES)[:table_size]
+    return out.reshape(t_rows * w)[:table_size]
 
 
 def _onehot_gather(table: Array, ids2d: Array, table_size: int) -> Array:
