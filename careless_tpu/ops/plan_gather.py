@@ -52,7 +52,11 @@ BLOCK_OBS = 8192            # observations per kernel grid step (64 x 128)
 # windows in the mid-30s — 32 missed them by two chunks)
 MAX_WINDOW_CHUNKS = 48
 MAX_TABLE_ROWS = 16384      # table must fit comfortably in VMEM (8 MB)
-MAX_HIST_TABLE = 4096       # one-hot histogram backward for tables this small
+# one-hot histogram backward for unsorted ids into tables this small: with
+# sqrt(T)-balanced factor widths the histogram beats sort+segment-sum up to
+# ~T=40k (measured 1M obs on v5e: 0.49 vs 2.5 ms at T=2k, 1.36 at T=20k,
+# 2.8 — losing — at T=50k)
+MAX_HIST_TABLE = 32768
 # one-hot MXU gather forward for windowless id layouts (the Laue
 # group-contiguous refl gather): cost ~ N * table_rows MXU-issue rows, so it
 # beats the ~6.7 ms/M element-serialized take up to ~1500 table rows
@@ -168,7 +172,10 @@ def make_gather_plan(ids, table_size: int) -> GatherPlan:
         # forward via the one-hot MXU gather instead of the serialized take
         ids2d = _pad_ids2d(ids)
         mxu = True
-    hist = (not is_sorted and ids2d is not None and not mxu
+    # forward (window/mxu) and backward (hist) choices are independent:
+    # e.g. a mid-size image table takes the mxu one-hot forward AND the
+    # histogram backward
+    hist = (not is_sorted and ids2d is not None
             and table_size <= MAX_HIST_TABLE)
     return GatherPlan(
         perm=None if perm is None else perm,
@@ -451,23 +458,24 @@ _plan_gather.defvjp(_plan_gather_fwd, _plan_gather_bwd)
 # One-hot MXU forward path (windowless ids over a VMEM-scale table — the
 # Laue group-contiguous refl gather)
 # --------------------------------------------------------------------------
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _mxu_plan_gather(n, table_size, table, ids2d, perm, starts, ends, bnd,
-                     keys):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _mxu_plan_gather(n, table_size, hist, table, ids2d, perm, starts, ends,
+                     bnd, keys):
     return _onehot_gather(table, ids2d, table_size)[:n]
 
 
-def _mxu_fwd(n, table_size, table, ids2d, perm, starts, ends, bnd, keys):
-    out = _mxu_plan_gather(n, table_size, table, ids2d, perm, starts, ends,
-                           bnd, keys)
+def _mxu_fwd(n, table_size, hist, table, ids2d, perm, starts, ends, bnd,
+             keys):
+    out = _mxu_plan_gather(n, table_size, hist, table, ids2d, perm, starts,
+                           ends, bnd, keys)
     return out, (perm, starts, ends, ids2d, bnd, keys)
 
 
-def _mxu_bwd(n, table_size, res, ct):
+def _mxu_bwd(n, table_size, hist, res, ct):
     perm, starts, ends, ids2d, bnd, keys = res
     dtable = segment_sum_by_plan(
         ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                       hist=False, bnd=bnd, sort_keys=keys))
+                       hist=hist, bnd=bnd, sort_keys=keys))
     return dtable, None, None, None, None, None, None
 
 
@@ -576,8 +584,9 @@ def plan_gather(table: Array, ids: Array,
     if plan.mxu and ids.ndim == 1:
         def one(tab):
             return _mxu_plan_gather(
-                ids.shape[0], plan.starts.shape[0], tab, plan.ids2d,
-                plan.perm, plan.starts, plan.ends, plan.bnd, plan.sort_keys)
+                ids.shape[0], plan.starts.shape[0], plan.hist, tab,
+                plan.ids2d, plan.perm, plan.starts, plan.ends, plan.bnd,
+                plan.sort_keys)
         if table.ndim == 1:
             return one(table)
         # batched table (S, T): S = mc_samples is small — unroll

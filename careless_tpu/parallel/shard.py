@@ -215,7 +215,8 @@ def _stack_gather_plans(plans: List, n_local: int):
             logger.debug(
                 "gather fast-forward degraded to the XLA take for all %d "
                 "shards (mixed window/mxu eligibility)", len(plans))
-    hist = all(p.hist for p in plans) and ids2d is not None and not mxu
+    # forward (window/mxu) and backward (hist) choices are independent
+    hist = all(p.hist for p in plans) and ids2d is not None
 
     # boundary plans: stack when every shard has one with the windowed
     # chunk-prefix resolve (uniform meta like the main window); otherwise

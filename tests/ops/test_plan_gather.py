@@ -260,3 +260,26 @@ def test_sort_permute_matches_take(monkeypatch, rng):
         expect = np.bincount(ids, weights=vb[s].astype(np.float64),
                              minlength=70)
         np.testing.assert_allclose(outb[s], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_mxu_forward_with_histogram_backward(rng):
+    """Mid-size unsorted table (too many rows for a window, small enough
+    for the histogram): the one-hot MXU forward and the histogram backward
+    are independent choices and must compose."""
+    n, t = 30_000, 16_000
+    ids = rng.integers(0, t, n).astype(np.int32)
+    plan = make_gather_plan(ids, t)
+    assert plan.mxu and plan.hist and plan.window == 0
+    table = rng.normal(size=t).astype(np.float32)
+    ct = rng.normal(size=n).astype(np.float32)
+
+    def f_plan(tab):
+        return jnp.sum(plan_gather(tab, jnp.asarray(ids), plan) * ct)
+
+    g_plan = np.asarray(jax.grad(f_plan)(jnp.asarray(table)))
+    expect = np.zeros(t, np.float64)
+    np.add.at(expect, ids, ct.astype(np.float64))
+    cond = np.zeros(t, np.float64)
+    np.add.at(cond, ids, np.abs(ct).astype(np.float64))
+    rel = np.abs(g_plan - expect) / (cond + 1e-6)
+    assert rel.max() < 1e-3, rel.max()
