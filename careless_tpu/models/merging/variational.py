@@ -748,8 +748,13 @@ class Trainer:
         if validation_data is not None:
             history["NLL_val"] = []
         if resumed_history is not None:
-            for k, v in resumed_history.items():
-                history[k] = list(v)
+            # align to THIS run's metric set and to start_step: the
+            # checkpointed run may have had a different metric set (e.g.
+            # validation on/off) or an abort-truncated history — ragged
+            # lists would crash the history DataFrame after training
+            for k in history:
+                v = list(resumed_history.get(k, ()))[:start_step]
+                history[k] = v + [float("nan")] * (start_step - len(v))
 
         from tqdm import tqdm
         bar = tqdm(total=steps, initial=start_step, desc=message,
@@ -787,9 +792,11 @@ class Trainer:
                 for k in history:
                     history[k] = history[k][:n_keep]
                 aborted = True
-            if (checkpoint_path and checkpoint_frequency > 0
+            # never checkpoint an aborted (non-finite) state: the previous
+            # healthy checkpoint stays the resume point
+            if (checkpoint_path and checkpoint_frequency > 0 and not aborted
                     and (done - last_ckpt >= checkpoint_frequency
-                         or done >= steps or aborted)):
+                         or done >= steps)):
                 from ...utils.checkpoint import save_state
                 save_state(checkpoint_path, params, opt_state, done, history)
                 last_ckpt = done

@@ -271,9 +271,10 @@ def _onehot_histogram(ct: Array, ids2d: Array, table_size: int) -> Array:
     accurate (see benchmarks/PERF_NOTES.md).
     """
     total = ids2d.size
-    # balance the two factors' traffic: W = power of two nearest sqrt(T),
-    # clamped to the measured-good range
-    w = int(2 ** round(np.log2(max(np.sqrt(table_size), 1))))
+    # balance the two factors' traffic: W = power of two at/above sqrt(T)
+    # (ceil matches the measured-best W=64 at T=2000), clamped to the
+    # measured-good range
+    w = int(2 ** np.ceil(np.log2(max(np.sqrt(table_size), 1))))
     w = min(max(w, 16), 128)
     t_rows = -(-table_size // w)
     ct = jnp.concatenate([ct, jnp.zeros(total - ct.shape[0], ct.dtype)])

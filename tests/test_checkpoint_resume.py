@@ -57,3 +57,21 @@ def test_cli_checkpoint_resume(tmp_path, pyp_off_mtz):
     import pandas as pd
     hist = pd.read_csv(out2 + "_history.csv")
     assert len(hist) == 15
+
+
+def test_resume_with_different_metric_set(tmp_path, pyp_off_mtz):
+    """Checkpoint written WITH validation, resumed WITHOUT (and the
+    reverse): history keys must stay rectangular so the history CSV can be
+    written (restored-only keys are dropped, missing prefixes NaN-pad)."""
+    from careless_tpu.main import main
+    out = str(tmp_path / "a")
+    main(["mono", "dHKL,image_id", pyp_off_mtz, out,
+          "--iterations=10", "--checkpoint-every=5", "--test-fraction=0.1",
+          "--steps-per-compile=5", "--disable-progress-bar"])
+    out2 = str(tmp_path / "b")
+    main(["mono", "dHKL,image_id", pyp_off_mtz, out2,
+          "--iterations=15", "--steps-per-compile=5",
+          f"--resume-from={out}_checkpoint", "--disable-progress-bar"])
+    import pandas as pd
+    hist = pd.read_csv(out2 + "_history.csv")
+    assert len(hist) == 15
