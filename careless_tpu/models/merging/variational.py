@@ -38,6 +38,16 @@ from ..base import Inputs
 Array = jax.Array
 
 
+def fused_seed_spacing(samples_per_shard: int) -> int:
+    """Per-shard seed stride for the fused kernel's in-kernel PRNG.
+
+    Shard j, sample s draws from seed base + s + j * spacing; uniqueness
+    over all (s, j) pairs requires spacing >= samples_per_shard (round-4
+    regression: a fixed 31 collided at mc > 31 — shard i sample 31 equals
+    shard i+1 sample 0, silently duplicating noise streams)."""
+    return max(31, samples_per_shard)
+
+
 def _global_norm(tree) -> Array:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
@@ -347,8 +357,10 @@ class VariationalMergingModel:
                 kind, dof = model._fused_likelihood_kind()
                 ev11 = model._fused_ev11_scalars(kind, lik_params)
                 ll_sum = 0.0
+                spacing = fused_seed_spacing(mc)
                 for s in range(mc):
-                    shard_seed = seed * 1009 + s + lax.axis_index("obs") * 31
+                    shard_seed = (seed * 1009 + s
+                                  + lax.axis_index("obs") * spacing)
                     ll_sum = ll_sum + fused_likelihood_sum(
                         mlp_dist.loc, mlp_dist.scale, image_scales, z_f[s],
                         local.refl_id, image_id, local.intensities,
@@ -469,9 +481,10 @@ class VariationalMergingModel:
                 kind, dof = model._fused_likelihood_kind()
                 ev11 = model._fused_ev11_scalars(kind, lik_params)
                 ll_sum = 0.0
+                spacing = fused_seed_spacing(mc_local)
                 for s in range(mc_local):
                     shard_seed = (seed * 1009 + s
-                                  + lax.axis_index("mc") * (mc_local * 7))
+                                  + lax.axis_index("mc") * spacing)
                     ll_sum = ll_sum + fused_likelihood_sum(
                         mlp_dist.loc, mlp_dist.scale, image_scales, z_f[s],
                         local.refl_id, image_id, local.intensities,

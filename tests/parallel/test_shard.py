@@ -194,3 +194,16 @@ def test_mc_axis_sharding_rejects_indivisible():
     mesh = make_mesh(4, axis_name="mc")
     with pytest.raises(ValueError, match="divide"):
         model.elbo_mc_sharded(params, jax.random.PRNGKey(0), inputs, mesh)
+
+
+def test_fused_seed_spacing_no_collisions():
+    """No two (sample, shard) pairs may share an in-kernel PRNG seed for
+    any mc up to 64 on an 8-shard mesh (VERDICT r4 Weak #4: a fixed
+    31-stride collided at mc > 31)."""
+    from careless_tpu.models.merging.variational import fused_seed_spacing
+
+    for mc in range(1, 65):
+        spacing = fused_seed_spacing(mc)
+        seeds = [s + shard * spacing
+                 for shard in range(8) for s in range(mc)]
+        assert len(set(seeds)) == len(seeds), f"seed collision at mc={mc}"

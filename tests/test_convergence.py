@@ -49,10 +49,11 @@ def test_converged_ccpred(converged_run, tmp_path):
     # measured: ~0.93 train (rounds 2-4, seed 1234)
     assert train_cc > 0.90, \
         f"converged train CCpred too low: {train_cc} (measured ~0.93)"
-    # the 10% test split of this tiny dataset is noisy; require it exists
-    # and is positively correlated
-    assert np.isfinite(test_cc) and test_cc > 0.0, \
-        f"test CCpred not positive: {test_cc}"
+    # the 10% test split of this tiny dataset is noisy (measured ~0.38,
+    # rounds 2-4); the 0.2 floor fails if test-set correlation halves
+    # (VERDICT r4 Weak #3: a merely-positive gate can't catch overfitting)
+    assert np.isfinite(test_cc) and test_cc > 0.2, \
+        f"test CCpred too low: {test_cc} (measured ~0.38)"
 
 
 @pytest.fixture(scope="module")
@@ -88,8 +89,8 @@ def test_converged_poly_quality(converged_poly_run, tmp_path):
     test_cc = float(res.loc[res["test"] == "Test", "CCpred"].iloc[0])
     assert train_cc > 0.88, \
         f"converged poly train CCpred too low: {train_cc} (measured ~0.93)"
-    assert np.isfinite(test_cc) and test_cc > 0.0, \
-        f"poly test CCpred not positive: {test_cc}"
+    assert np.isfinite(test_cc) and test_cc > 0.2, \
+        f"poly test CCpred too low: {test_cc} (measured ~0.38)"
 
 
 @pytest.mark.slow
