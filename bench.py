@@ -77,31 +77,61 @@ def build_problem(n_obs, n_refl, n_images=2000, d_meta=10, seed=0,
     rng = np.random.default_rng(seed)
     refl_id = rng.integers(0, n_refl, n_obs)
     image_id = rng.integers(0, n_images, n_obs)
+    kwargs = {}
+    if laue:
+        # Harmonic-chain structure mirroring real pink-beam Laue data
+        # (BASELINE config 3): reflections partition into harmonic chains
+        # (multiples of one primitive ray — utils/laue.py
+        # expand_harmonics), and each group observes a PREFIX of one
+        # chain's members on one image. Ids are assigned over a shuffled
+        # table (real refl ids are HKL-ordered, chain members scattered),
+        # so nothing is pre-localized for the chain layout
+        # (ops/chain_layout.py) being benchmarked.
+        perm_ids = rng.permutation(n_refl).astype(np.int64)
+        clens = rng.choice([1, 2, 3, 4], size=n_refl,
+                           p=[0.5, 0.25, 0.15, 0.10])
+        csum = np.cumsum(clens)
+        clens = clens[csum <= n_refl]
+        rem = n_refl - int(clens.sum())
+        if rem:
+            clens = np.append(clens, rem)
+        n_chains = len(clens)
+        chain_start = np.concatenate([[0], np.cumsum(clens)[:-1]])
+        # groups until the row budget is filled; trim at a group boundary
+        # and top up with singleton groups to land exactly on n_obs
+        est = int(n_obs / 1.4 * 1.05) + 8
+        gc = rng.integers(0, n_chains, est)
+        gl = 1 + (rng.random(est) * clens[gc]).astype(np.int64)
+        k = int(np.searchsorted(np.cumsum(gl), n_obs, side="right"))
+        gc, gl = gc[:k], gl[:k]
+        fill = n_obs - (int(gl.sum()) if k else 0)
+        if fill:
+            gc = np.concatenate([gc, rng.integers(0, n_chains, fill)])
+            gl = np.concatenate([gl, np.ones(fill, np.int64)])
+        n_groups = len(gl)
+        hid = np.repeat(np.arange(n_groups), gl)
+        row_start = np.repeat(np.concatenate([[0], np.cumsum(gl)[:-1]]), gl)
+        member = np.arange(n_obs) - row_start
+        refl_id = perm_ids[np.repeat(chain_start[gc], gl) + member]
+        image_id = rng.integers(0, n_images, n_groups)[hid]
     metadata = rng.normal(size=(n_obs, d_meta)).astype(np.float32)
     f_true = np.abs(rng.normal(1.0, 0.5, n_refl)) + 0.05
     scale_true = np.exp(0.2 * metadata[:, 0])
     iobs = scale_true * f_true[refl_id] ** 2
     iobs = iobs + 0.1 * np.sqrt(np.abs(iobs)) * rng.normal(size=n_obs)
     sig = np.full(n_obs, 0.1, np.float32)
-    kwargs = {}
     if laue:
-        # harmonic groups as contiguous runs of 1-3 observations (the
-        # group-sorted production layout): ~2 obs/group on average, the
-        # shape of a pink-beam Laue experiment (BASELINE config 3)
-        sizes = rng.integers(1, 4, n_obs)
-        hid = np.repeat(np.arange(len(sizes)), sizes)[:n_obs]
-        n_groups = int(hid[-1]) + 1
-        grouped = np.zeros(n_obs, np.float32)
+        grouped = np.zeros(n_groups, np.float32)
         np.add.at(grouped, hid, iobs.astype(np.float32))
-        iobs = np.concatenate([grouped[:n_groups],
+        iobs = np.concatenate([grouped,
                                np.ones(n_obs - n_groups, np.float32)])
         kwargs = dict(wavelength=np.ones(n_obs, np.float32), harmonic_id=hid)
     inputs = Inputs.from_arrays(refl_id, image_id, np.zeros(n_obs), metadata,
                                 iobs, sig, **kwargs)
     # production training path: sorted rows + gather plans
     if plans:
-        if not laue:
-            inputs = inputs.sorted_by_refl()
+        inputs = (inputs.sorted_by_harmonic(n_refl) if laue
+                  else inputs.sorted_by_refl())
         inputs = inputs.with_plans(n_refl, n_images, mlp_width=mlp_width)
 
     lik_mod = laue_lik if laue else mono_lik

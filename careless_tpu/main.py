@@ -243,10 +243,11 @@ def _shard_inputs(inputs, num_devices: int, n_refl=None, n_images=None,
                 # an identity backward permute; the ELBO sum is order-free
                 inputs = inputs.sorted_by_refl()
             else:
-                # group-contiguous rows give the harmonic convolution an
-                # unpermuted segment-sum forward and a tight-window
-                # backward gather (models/likelihoods/laue.py)
-                inputs = inputs.sorted_by_harmonic()
+                # chain layout: group-contiguous rows (unpermuted
+                # segment-sum convolution) ordered so the refl gather gets
+                # the windowed kernel in both directions
+                # (ops/chain_layout.py)
+                inputs = inputs.sorted_by_harmonic(n_refl)
             inputs = inputs.with_plans(n_refl, n_images,
                                        mlp_width=mlp_width)
         return inputs, None

@@ -102,31 +102,64 @@ class Inputs(NamedTuple):
         order = np.argsort(np.asarray(self.refl_id), kind="stable")
         return self.select(order)
 
-    def sorted_by_harmonic(self) -> "Inputs":
-        """Stable-sort Laue rows by harmonic_id so harmonic groups are
-        contiguous runs (host-side numpy). Training-path optimization: the
-        planned convolution's forward segment-sum then needs no permute and
-        its backward gather gets tight kernel windows (ops/plan_gather.py).
+    def sorted_by_harmonic(self, n_refl: Optional[int] = None) -> "Inputs":
+        """Reorder Laue rows so harmonic groups are contiguous runs
+        (host-side numpy). Training-path optimization: the planned
+        convolution's forward segment-sum then needs no permute and its
+        backward gather gets tight kernel windows (ops/plan_gather.py).
 
-        Only PER-ROW fields are reordered. intensities/uncertainties are
-        indexed by GROUP id (the first n_groups entries carry the group
-        values, reference formatter.py:637-640), and group ids do not
-        change, so they stay exactly as packed. The convolved likelihood
-        compares conv[g] against intensities[g] — row-order free."""
+        Legacy mode (n_refl None): stable-sort by harmonic_id. Group ids
+        do not change, so the group-indexed intensities/uncertainties
+        (first n_groups entries carry the group values, reference
+        formatter.py:637-640) stay exactly as packed.
+
+        Chain mode (n_refl given, mask None, dense group ids): the
+        harmonic-CHAIN layout (ops/chain_layout.py) — groups ordered by
+        their minimum chain-renumbered refl id, rows within a group by
+        that id, so the refl gather's plan (with_plans) gets the windowed
+        kernel in both directions instead of the order-independent one-hot
+        + sort pipeline. Groups are renumbered to the new order, so the
+        group-indexed intensities/uncertainties are repacked accordingly.
+        Either way the ELBO is a sum over groups and rows — order-free."""
         if not self.is_laue:
             raise ValueError("sorted_by_harmonic applies to Laue inputs only")
-        order = np.argsort(np.asarray(self.harmonic_id), kind="stable")
+        hid = np.asarray(self.harmonic_id)
+        uniq = np.unique(hid)
+        dense = len(uniq) == 0 or (uniq[0] == 0
+                                   and uniq[-1] == len(uniq) - 1)
+        if n_refl is None or self.mask is not None or not dense:
+            order = np.argsort(hid, kind="stable")
+            renumber = False
+        else:
+            from ..ops.chain_layout import chain_row_order
+            order = chain_row_order(np.asarray(self.refl_id), hid, n_refl)
+            renumber = True
 
         def take_rows(x):
             return None if x is None else np.asarray(x)[order]
 
+        new_hid = take_rows(self.harmonic_id)
+        iobs, sig = self.intensities, self.uncertainties
+        if renumber:
+            h_sorted = new_hid
+            change = np.concatenate(
+                [[True], h_sorted[1:] != h_sorted[:-1]])
+            old_of_new = h_sorted[np.flatnonzero(change)]
+            n_groups = len(old_of_new)
+            new_hid = (np.cumsum(change) - 1).astype(h_sorted.dtype)
+            iobs = np.asarray(iobs).copy()
+            sig = np.asarray(sig).copy()
+            iobs[:n_groups] = np.asarray(self.intensities)[old_of_new]
+            sig[:n_groups] = np.asarray(self.uncertainties)[old_of_new]
         return self._replace(
             refl_id=take_rows(self.refl_id),
             image_id=take_rows(self.image_id),
             file_id=take_rows(self.file_id),
             metadata=take_rows(self.metadata),
+            intensities=iobs,
+            uncertainties=sig,
             wavelength=take_rows(self.wavelength),
-            harmonic_id=take_rows(self.harmonic_id),
+            harmonic_id=new_hid,
             mask=take_rows(self.mask),
             plans=None,
         )
@@ -148,17 +181,25 @@ class Inputs(NamedTuple):
         the per-step XLA packing copies."""
         from ..ops.conv_runs import make_conv_run_plan
         from ..ops.fused_mlp import pack_metadata
-        from ..ops.plan_gather import make_gather_plan
+        from ..ops.plan_gather import (make_chain_gather_plan,
+                                       make_gather_plan)
         meta = (pack_metadata(self.metadata, mlp_width)
                 if mlp_width is not None else None)
-        harmonic = harmonic_run = None
+        harmonic = harmonic_run = refl_plan = None
         if self.is_laue:
             harmonic = make_gather_plan(self.harmonic_id, self.n_obs)
             harmonic_run = make_conv_run_plan(
                 self.harmonic_id, self.intensities, self.uncertainties,
                 self.mask)
+            # chain-layout rows (sorted_by_harmonic(n_refl)) get the
+            # windowed two-sided gather; other layouts fall through to the
+            # order-independent plan below
+            refl_plan = make_chain_gather_plan(self.refl_id,
+                                               self.harmonic_id, n_refl)
+        if refl_plan is None:
+            refl_plan = make_gather_plan(self.refl_id, n_refl)
         return self._replace(plans=GatherPlans(
-            refl=make_gather_plan(self.refl_id, n_refl),
+            refl=refl_plan,
             image=make_gather_plan(self.image_id, n_images),
             meta=meta,
             harmonic=harmonic,

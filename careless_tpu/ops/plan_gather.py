@@ -97,7 +97,7 @@ class BoundaryPlan:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("perm", "starts", "ends", "ids2d", "bases", "bnd",
-                      "sort_keys"),
+                      "sort_keys", "perm_plan"),
          meta_fields=("window", "hist", "mxu"))
 @dataclass(frozen=True)
 class GatherPlan:
@@ -115,6 +115,11 @@ class GatherPlan:
             lax.sort_key_val on these instead of the element-serialized
             take(perm) at TPU scale (see SORT_PERMUTE_MIN_N); only
             consulted when perm is not None
+    perm_plan: windowed-kernel plan (ids2d/bases/window only) for APPLYING
+            `perm` as a gather over the observation axis — set when the
+            permutation is quasi-identity (the Laue chain layout), where
+            the windowed kernel beats the sort ~4x; checked before
+            sort_keys
     window: static window size in 128-entry chunks (0 = no windowed kernel)
     hist:   backward uses the one-hot-matmul histogram (small unsorted
             tables: MXU beats the permuted segment-sum ~3.5x, measured)
@@ -130,6 +135,7 @@ class GatherPlan:
     bases: Optional[Array] = None
     bnd: Optional[BoundaryPlan] = None
     sort_keys: Optional[Array] = None
+    perm_plan: Optional["GatherPlan"] = None
     window: int = 0
     hist: bool = False
     mxu: bool = False
@@ -197,9 +203,12 @@ def _pad_ids2d(ids: np.ndarray) -> np.ndarray:
     return flat.reshape(rows_pad, LANES)
 
 
-def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True):
+def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True,
+                  max_chunks: int = MAX_WINDOW_CHUNKS):
     """Per-tile window bases for the forward kernel (None triple when the
-    kernel is not applicable)."""
+    kernel is not applicable). max_chunks overrides the default give-up
+    width (quasi-identity permutation layouts legitimately need >= 64
+    chunks: a tile of 8192 consecutive positions alone spans 64)."""
     n = len(ids)
     table_rows = -(-table_size // LANES)
     if n == 0 or table_rows > MAX_TABLE_ROWS:
@@ -213,7 +222,11 @@ def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True):
         return None, None, 0
     rows = -(-n // LANES)
     rows_pad = -(-rows // (BLOCK_OBS // LANES)) * (BLOCK_OBS // LANES)
-    pad_value = ids[-1] if is_sorted else 0
+    # pad with the LAST id, never 0: on sorted/quasi-sorted layouts a
+    # 0-pad makes the final tile span the whole table (its window covers
+    # [0, max id]), silently disqualifying the kernel (round-5 chain-layout
+    # regression); for truly unsorted ids the choice is indifferent
+    pad_value = ids[-1]
     flat = np.full(rows_pad * LANES, pad_value, np.int32)
     flat[:n] = ids
     ids2d = flat.reshape(rows_pad, LANES)
@@ -223,8 +236,8 @@ def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True):
     lo = tiles.min(axis=1) // LANES
     hi = tiles.max(axis=1) // LANES
     window = int((hi - lo).max()) + 1
-    if window > MAX_WINDOW_CHUNKS:
-        if table_rows <= MAX_WINDOW_CHUNKS:
+    if window > max_chunks:
+        if table_rows <= max_chunks:
             # small table: cover it whole from every tile
             lo = np.zeros(n_tiles, np.int64)
             window = table_rows
@@ -343,12 +356,27 @@ def _use_sort_permute(n: int) -> bool:
 def _apply_perm(contrib: Array, plan: GatherPlan) -> Array:
     """Reorder contributions into table-id order (the backward permute).
 
-    At TPU scale a stable key-sort on the raw ids beats the
-    element-serialized take(perm) ~3.6x (gather_probe.py); stability makes
-    it bit-identical to take(argsort(ids, stable))."""
+    Quasi-identity permutations (the Laue chain layout) carry a windowed
+    kernel plan and run as a tight-window gather over the observation axis
+    (~4x faster than the sort, same values since the permutation is
+    exact). Otherwise at TPU scale a stable key-sort on the raw ids beats
+    the element-serialized take(perm) ~3.6x (gather_probe.py); stability
+    makes it bit-identical to take(argsort(ids, stable))."""
     if plan.perm is None:
         return contrib
     n = contrib.shape[-1]
+    pp = plan.perm_plan
+    if pp is not None and pp.window > 0:
+        from .table_gather import windowed_gather
+
+        def one(row):
+            return windowed_gather(row, pp.ids2d, pp.bases, pp.window)[:n]
+        if contrib.ndim == 1:
+            return one(contrib)
+        lead = contrib.shape[:-1]
+        flat = contrib.reshape((-1, n))
+        rows = [one(flat[s]) for s in range(flat.shape[0])]
+        return jnp.stack(rows).reshape(lead + (n,))
     if plan.sort_keys is not None and _use_sort_permute(n):
         # sort FLAT rows one at a time: XLA's batched sort on (S, N) runs
         # ~7x slower than S independent 1-D sorts (measured 13.9 vs 1.9 ms
@@ -435,21 +463,22 @@ def segment_sum_by_plan(contrib: Array, plan: GatherPlan) -> Array:
 # XLA-forward path (batched tables / no window plan)
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _plan_gather(hist, table, ids, perm, starts, ends, ids2d, bnd, keys):
+def _plan_gather(hist, table, ids, perm, starts, ends, ids2d, bnd, keys, pp):
     return jnp.take(table, ids, axis=-1)
 
 
-def _plan_gather_fwd(hist, table, ids, perm, starts, ends, ids2d, bnd, keys):
+def _plan_gather_fwd(hist, table, ids, perm, starts, ends, ids2d, bnd, keys,
+                     pp):
     return (jnp.take(table, ids, axis=-1),
-            (perm, starts, ends, ids2d, bnd, keys))
+            (perm, starts, ends, ids2d, bnd, keys, pp))
 
 
 def _plan_gather_bwd(hist, res, ct):
-    perm, starts, ends, ids2d, bnd, keys = res
+    perm, starts, ends, ids2d, bnd, keys, pp = res
     dtable = segment_sum_by_plan(
         ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                       hist=hist, bnd=bnd, sort_keys=keys))
-    return dtable, None, None, None, None, None, None, None
+                       hist=hist, bnd=bnd, sort_keys=keys, perm_plan=pp))
+    return (dtable, None, None, None, None, None, None, None, None)
 
 
 _plan_gather.defvjp(_plan_gather_fwd, _plan_gather_bwd)
@@ -461,23 +490,23 @@ _plan_gather.defvjp(_plan_gather_fwd, _plan_gather_bwd)
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _mxu_plan_gather(n, table_size, hist, table, ids2d, perm, starts, ends,
-                     bnd, keys):
+                     bnd, keys, pp):
     return _onehot_gather(table, ids2d, table_size)[:n]
 
 
 def _mxu_fwd(n, table_size, hist, table, ids2d, perm, starts, ends, bnd,
-             keys):
+             keys, pp):
     out = _mxu_plan_gather(n, table_size, hist, table, ids2d, perm, starts,
-                           ends, bnd, keys)
-    return out, (perm, starts, ends, ids2d, bnd, keys)
+                           ends, bnd, keys, pp)
+    return out, (perm, starts, ends, ids2d, bnd, keys, pp)
 
 
 def _mxu_bwd(n, table_size, hist, res, ct):
-    perm, starts, ends, ids2d, bnd, keys = res
+    perm, starts, ends, ids2d, bnd, keys, pp = res
     dtable = segment_sum_by_plan(
         ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                       hist=hist, bnd=bnd, sort_keys=keys))
-    return dtable, None, None, None, None, None, None
+                       hist=hist, bnd=bnd, sort_keys=keys, perm_plan=pp))
+    return dtable, None, None, None, None, None, None, None
 
 
 _mxu_plan_gather.defvjp(_mxu_fwd, _mxu_bwd)
@@ -488,24 +517,24 @@ _mxu_plan_gather.defvjp(_mxu_fwd, _mxu_bwd)
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
-                          starts, ends, bnd, keys):
+                          starts, ends, bnd, keys, pp):
     from .table_gather import windowed_gather
     return windowed_gather(table, ids2d, bases, window)[:n]
 
 
 def _windowed_fwd(window, n, hist, table, ids2d, bases, perm, starts, ends,
-                  bnd, keys):
+                  bnd, keys, pp):
     out = _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
-                                starts, ends, bnd, keys)
-    return out, (perm, starts, ends, ids2d, bnd, keys)
+                                starts, ends, bnd, keys, pp)
+    return out, (perm, starts, ends, ids2d, bnd, keys, pp)
 
 
 def _windowed_bwd(window, n, hist, res, ct):
-    perm, starts, ends, ids2d, bnd, keys = res
+    perm, starts, ends, ids2d, bnd, keys, pp = res
     dtable = segment_sum_by_plan(
         ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
-                       hist=hist, bnd=bnd, sort_keys=keys))
-    return dtable, None, None, None, None, None, None, None
+                       hist=hist, bnd=bnd, sort_keys=keys, perm_plan=pp))
+    return dtable, None, None, None, None, None, None, None, None
 
 
 _windowed_plan_gather.defvjp(_windowed_fwd, _windowed_bwd)
@@ -568,8 +597,7 @@ def plan_convolve(value: Array, ids: Array,
                           plan.bnd, plan.sort_keys)
 
 
-def plan_gather(table: Array, ids: Array,
-                plan: Optional[GatherPlan]) -> Array:
+def plan_gather(table: Array, ids: Array, plan) -> Array:
     """`jnp.take(table, ids, axis=-1)` with planned fast paths.
 
     Falls back to a plain gather (XLA scatter transpose) when plan is None —
@@ -577,17 +605,19 @@ def plan_gather(table: Array, ids: Array,
     """
     if plan is None:
         return jnp.take(table, ids, axis=-1)
+    if isinstance(plan, ChainGatherPlan):
+        return _chain_gather(table, ids, plan)
     if plan.window > 0 and table.ndim == 1 and ids.ndim == 1:
         return _windowed_plan_gather(
             plan.window, ids.shape[0], plan.hist, table, plan.ids2d,
             plan.bases, plan.perm, plan.starts, plan.ends, plan.bnd,
-            plan.sort_keys)
+            plan.sort_keys, plan.perm_plan)
     if plan.mxu and ids.ndim == 1:
         def one(tab):
             return _mxu_plan_gather(
                 ids.shape[0], plan.starts.shape[0], plan.hist, tab,
                 plan.ids2d, plan.perm, plan.starts, plan.ends, plan.bnd,
-                plan.sort_keys)
+                plan.sort_keys, plan.perm_plan)
         if table.ndim == 1:
             return one(table)
         # batched table (S, T): S = mc_samples is small — unroll
@@ -596,4 +626,148 @@ def plan_gather(table: Array, ids: Array,
         outs = [one(flat[s]) for s in range(flat.shape[0])]
         return jnp.stack(outs).reshape(lead + (ids.shape[0],))
     return _plan_gather(plan.hist, table, ids, plan.perm, plan.starts,
-                        plan.ends, plan.ids2d, plan.bnd, plan.sort_keys)
+                        plan.ends, plan.ids2d, plan.bnd, plan.sort_keys,
+                        plan.perm_plan)
+
+
+# --------------------------------------------------------------------------
+# Chain gather (the Laue refl gather on the harmonic-chain layout,
+# ops/chain_layout.py): reflections are renumbered so each harmonic chain's
+# members hold consecutive table ids and rows are quasi-sorted by the
+# renumbered id. The gather then runs as
+#
+#     z_perm = z_f[sigma]                  (n_refl-sized table permute;
+#                                           one-hot MXU / key-sort — ~20x
+#                                           smaller than the obs axis)
+#     out    = windowed_gather(z_perm, local_ids)   (tight windows)
+#
+# and the backward segment-sum's permute is quasi-identity, applied with
+# the same windowed kernel (perm_plan) instead of a full 1.9 ms/M sort.
+# Replaces the round-4 one-hot-forward + sort-backward pipeline (1.8 + 1.9
+# ms/M) with ~0.2 + ~0.4 ms/M at 1M obs / 50k refl.
+# --------------------------------------------------------------------------
+# the quasi-identity backward permutation legitimately spans >= 64 chunks
+# (a tile of 8192 consecutive positions alone covers 64); beyond 160 the
+# per-tile chunk loop approaches the sort's cost and the sort wins
+PERM_WINDOW_CHUNKS = 160
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("sigma", "sigma_inv", "sigma2d", "sigma_inv2d",
+                      "inner"),
+         meta_fields=("table_size",))
+@dataclass(frozen=True)
+class ChainGatherPlan:
+    """sigma[new] = old (chain renumbering); inner gathers by the
+    renumbered local ids with a windowed forward and a quasi-identity
+    (perm_plan) backward. Inputs.refl_id and the model tables stay in
+    canonical order — the permutation lives entirely in this plan."""
+
+    sigma: Array            # (T,) int32, new -> old
+    sigma_inv: Array        # (T,) int32, old -> new
+    sigma2d: Optional[Array]      # padded tiles for the one-hot permute
+    sigma_inv2d: Optional[Array]
+    inner: GatherPlan
+    table_size: int
+
+
+def _permute_table(x: Array, ids: Array, sort_keys: Array,
+                   ids2d: Optional[Array], table_size: int) -> Array:
+    """out[j] = x[ids[j]] for a PERMUTATION ids (argsort(sort_keys) == ids).
+    One-hot MXU for VMEM-scale tables, stable key-sort at scale, plain
+    take otherwise (CPU / tiny)."""
+    if jax.default_backend() == "tpu" and ids2d is not None:
+        if -(-table_size // LANES) <= MAX_MXU_GATHER_ROWS:
+            return _onehot_gather(x, ids2d, table_size)[:table_size]
+        if table_size >= SORT_PERMUTE_MIN_N:
+            return jax.lax.sort_key_val(sort_keys, x)[1]
+    return jnp.take(x, ids)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _chain_permute(table_size, x, sigma, sigma_inv, sigma2d, sigma_inv2d):
+    return _permute_table(x, sigma, sigma_inv, sigma2d, table_size)
+
+
+def _chain_permute_fwd(table_size, x, sigma, sigma_inv, sigma2d,
+                       sigma_inv2d):
+    out = _chain_permute(table_size, x, sigma, sigma_inv, sigma2d,
+                         sigma_inv2d)
+    return out, (sigma, sigma_inv, sigma2d, sigma_inv2d)
+
+
+def _chain_permute_bwd(table_size, res, ct):
+    sigma, sigma_inv, sigma2d, sigma_inv2d = res
+    # transpose of a permutation is its inverse permutation
+    dx = _permute_table(ct, sigma_inv, sigma, sigma_inv2d, table_size)
+    return dx, None, None, None, None
+
+
+_chain_permute.defvjp(_chain_permute_fwd, _chain_permute_bwd)
+
+
+def _chain_gather(table: Array, ids: Array, plan: ChainGatherPlan) -> Array:
+    inner = plan.inner
+
+    def one(tab):
+        z_perm = _chain_permute(plan.table_size, tab, plan.sigma,
+                                plan.sigma_inv, plan.sigma2d,
+                                plan.sigma_inv2d)
+        return _windowed_plan_gather(
+            inner.window, ids.shape[0], inner.hist, z_perm, inner.ids2d,
+            inner.bases, inner.perm, inner.starts, inner.ends, inner.bnd,
+            inner.sort_keys, inner.perm_plan)
+
+    if table.ndim == 1:
+        return one(table)
+    lead = table.shape[:-1]  # batched table (S, T): S is small — unroll
+    flat = table.reshape((-1, table.shape[-1]))
+    outs = [one(flat[s]) for s in range(flat.shape[0])]
+    return jnp.stack(outs).reshape(lead + (ids.shape[0],))
+
+
+def make_chain_gather_plan(refl_id, harmonic_id,
+                           table_size: int) -> Optional[ChainGatherPlan]:
+    """Chain-layout refl-gather plan, or None when the layout does not
+    window (rows not chain-ordered, pathological chains, or table/obs
+    sizes beyond the kernel caps) — callers fall back to
+    make_gather_plan's order-independent paths."""
+    from .chain_layout import chain_permutation
+
+    ids = np.asarray(refl_id).reshape(-1)
+    n = len(ids)
+    if n == 0:
+        return None
+    sigma, sigma_inv = chain_permutation(ids, harmonic_id, table_size)
+    local = sigma_inv[ids]
+    is_sorted = bool(np.all(local[1:] >= local[:-1])) if n > 1 else True
+    ids2d, bases, window = _plan_windows(local, table_size, is_sorted,
+                                         warn=False)
+    if ids2d is None or window == 0:
+        return None
+    perm = perm_plan = None
+    sorted_local = local
+    if not is_sorted:
+        perm = np.argsort(local, kind="stable").astype(np.int32)
+        sorted_local = local[perm]
+        p2d, pb, pw = _plan_windows(perm, n, False, warn=False,
+                                    max_chunks=PERM_WINDOW_CHUNKS)
+        if p2d is None:
+            return None  # displacement too large: sort would win anyway
+        perm_plan = GatherPlan(perm=None, starts=None, ends=None,
+                               ids2d=p2d, bases=pb, window=pw)
+    rng = np.arange(table_size)
+    starts = np.searchsorted(sorted_local, rng, side="left").astype(np.int32)
+    ends = np.searchsorted(sorted_local, rng, side="right").astype(np.int32)
+    hist = not is_sorted and table_size <= MAX_HIST_TABLE
+    inner = GatherPlan(
+        perm=perm, starts=starts, ends=ends, ids2d=ids2d, bases=bases,
+        window=window, hist=hist,
+        sort_keys=None if is_sorted else local.astype(np.int32),
+        perm_plan=perm_plan, bnd=make_boundary_plan(starts, n))
+    mxu_ok = -(-table_size // LANES) <= MAX_MXU_GATHER_ROWS
+    return ChainGatherPlan(
+        sigma=sigma, sigma_inv=sigma_inv,
+        sigma2d=_pad_ids2d(sigma) if mxu_ok else None,
+        sigma_inv2d=_pad_ids2d(sigma_inv) if mxu_ok else None,
+        inner=inner, table_size=table_size)
