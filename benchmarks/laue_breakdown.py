@@ -54,7 +54,7 @@ def main(n_obs=1_000_000):
     plans = inputs.plans
 
     print(f"backend={jax.default_backend()} n_obs={n_obs} n_refl={n_refl} "
-          f"refl mxu={plans.refl.mxu}")
+          f"refl plan={type(plans.refl).__name__}")
 
     @jax.jit
     def run_chunk(params, opt_state, n):

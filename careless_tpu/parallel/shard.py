@@ -218,6 +218,23 @@ def _stack_gather_plans(plans: List, n_local: int):
     # forward (window/mxu) and backward (hist) choices are independent
     hist = all(p.hist for p in plans) and ids2d is not None
 
+    # quasi-identity backward-permute plans (the Laue chain layout) stack
+    # like the main windows: uniform max window, bases re-clamped
+    pps = [p.perm_plan for p in plans]
+    perm_plan = None
+    if all(pp is not None and pp.window > 0 and pp.ids2d is not None
+           for pp in pps):
+        pw = max(pp.window for pp in pps)
+        rows_local = -(-n_local // 128)
+        perm_plan = GatherPlan(
+            perm=None, starts=None, ends=None,
+            ids2d=np.stack([np.asarray(pp.ids2d) for pp in pps]),
+            bases=np.stack([
+                np.minimum(np.asarray(pp.bases),
+                           max(rows_local - pw, 0)).astype(np.int32)
+                for pp in pps]),
+            window=pw)
+
     # boundary plans: stack when every shard has one with the windowed
     # chunk-prefix resolve (uniform meta like the main window); otherwise
     # degrade to the take fallback (pos alone still halves the gathers)
@@ -251,7 +268,31 @@ def _stack_gather_plans(plans: List, n_local: int):
                            cp_window=cp_window)
     return GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
                       bases=bases, window=window, hist=hist, mxu=mxu,
-                      sort_keys=sort_keys, bnd=bnd)
+                      sort_keys=sort_keys, perm_plan=perm_plan, bnd=bnd)
+
+
+def _stack_chain_plans(plans: List, n_local: int, n_refl: int):
+    """Stack per-shard ChainGatherPlans (leading axis n_shards) with
+    uniform static meta, or None when any shard lacks the full windowed
+    form (callers fall back to the order-independent stacked plan)."""
+    from ..ops.plan_gather import ChainGatherPlan
+
+    if not all(isinstance(p, ChainGatherPlan) and p.inner.perm is not None
+               and p.inner.perm_plan is not None
+               and p.inner.perm_plan.window > 0 for p in plans):
+        return None
+    inner = _stack_gather_plans([p.inner for p in plans], n_local)
+    if inner.window == 0 or inner.perm_plan is None:
+        return None
+    use_2d = all(p.sigma2d is not None for p in plans)
+    return ChainGatherPlan(
+        sigma=np.stack([np.asarray(p.sigma) for p in plans]),
+        sigma_inv=np.stack([np.asarray(p.sigma_inv) for p in plans]),
+        sigma2d=(np.stack([np.asarray(p.sigma2d) for p in plans])
+                 if use_2d else None),
+        sigma_inv2d=(np.stack([np.asarray(p.sigma_inv2d) for p in plans])
+                     if use_2d else None),
+        inner=inner, table_size=n_refl)
 
 
 def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
@@ -278,11 +319,18 @@ def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
     mask = None if inputs.mask is None else np.asarray(inputs.mask)
 
     refl_plans, image_plans, harm_plans, run_plans, metas = [], [], [], [], []
+    chain_plans = []
     for s in range(num_shards):
         lo, hi = s * w, (s + 1) * w
         refl_plans.append(make_gather_plan(refl_id[lo:hi], n_refl))
         image_plans.append(make_gather_plan(image_id[lo:hi], n_images))
         if hid is not None:
+            from ..ops.plan_gather import make_chain_gather_plan
+            # chain-layout refl plan (windowed both directions); shards of
+            # a chain-ordered layout are contiguous chain-ordered row
+            # ranges, so per-shard windows stay tight
+            chain_plans.append(make_chain_gather_plan(
+                refl_id[lo:hi], hid[lo:hi], n_refl))
             # shard-local group ids (the layout offsets groups by s * w)
             harm_plans.append(make_gather_plan(hid[lo:hi] - lo, w))
             run_plans.append(make_conv_run_plan(
@@ -290,6 +338,11 @@ def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
                 None if mask is None else mask[lo:hi]))
         if mlp_width is not None:
             metas.append(pack_metadata(metadata[lo:hi], mlp_width))
+
+    refl_stacked = (_stack_chain_plans(chain_plans, w, n_refl)
+                    if chain_plans else None)
+    if refl_stacked is None:
+        refl_stacked = _stack_gather_plans(refl_plans, w)
 
     harmonic_run = None
     if run_plans and all(r is not None for r in run_plans):
@@ -309,7 +362,7 @@ def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
             n=metas[0].n, d_in=metas[0].d_in,
             d_slot=metas[0].d_slot, group=metas[0].group)
     return GatherPlans(
-        refl=_stack_gather_plans(refl_plans, w),
+        refl=refl_stacked,
         image=_stack_gather_plans(image_plans, w),
         meta=meta,
         harmonic=(_stack_gather_plans(harm_plans, w) if harm_plans
@@ -317,15 +370,22 @@ def _per_shard_plans(inputs: Inputs, num_shards: int, n_refl: int,
         harmonic_run=harmonic_run)
 
 
-def prepare_sharded_layout(inputs: Inputs, num_shards: int) -> Inputs:
+def prepare_sharded_layout(inputs: Inputs, num_shards: int,
+                           n_refl: Optional[int] = None) -> Inputs:
     """The global array layout the sharded path trains on: mono inputs are
     refl-sorted (tight per-shard gather windows) and padded to a multiple
-    of num_shards; Laue inputs are harmonic-group-aligned per shard. Used
-    by shard_inputs_over_mesh and by the shard-invariance tests (the
-    1-device reference must see the SAME layout so per-row MC noise
-    matches)."""
+    of num_shards; Laue inputs are harmonic-group-aligned per shard — in
+    the chain order (ops/chain_layout.py) when n_refl is known, matching
+    the single-device layout so per-shard refl gathers window. Used by
+    shard_inputs_over_mesh and by the shard-invariance tests (the 1-device
+    reference must see the SAME layout so per-row MC noise matches)."""
     inputs = inputs._replace(plans=None, shard_plans=None)
     if inputs.is_laue:
+        if n_refl is not None and inputs.mask is None:
+            # chain order survives the group-aligned re-sort below (groups
+            # are renumbered to chain order, and the stable argsort by
+            # group id preserves it)
+            inputs = inputs.sorted_by_harmonic(n_refl)
         return _laue_group_aligned_order(inputs, num_shards)
     if inputs.n_obs > 1:
         rid = np.asarray(inputs.refl_id)
@@ -348,7 +408,7 @@ def shard_inputs_over_mesh(inputs: Inputs, num_devices: int, devices=None,
     shard_map training path — without them, every fast path degraded to
     element-serialized XLA gathers (the round-2 multi-chip regression)."""
     mesh = make_mesh(num_devices, devices)
-    inputs = prepare_sharded_layout(inputs, num_devices)
+    inputs = prepare_sharded_layout(inputs, num_devices, n_refl=n_refl)
     if n_refl is not None and n_images is not None:
         inputs = inputs._replace(shard_plans=_per_shard_plans(
             inputs, num_devices, n_refl, n_images, mlp_width))

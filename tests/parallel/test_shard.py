@@ -52,7 +52,9 @@ def test_elbo_shard_map_path_invariance(laue, n_devices):
     layout, values AND gradients."""
     model, params, trainer, inputs = _tiny_problem(n_obs=203, laue=laue)
     key = jax.random.PRNGKey(3)
-    layout = prepare_sharded_layout(inputs, n_devices)
+    # n_refl fixes the (chain) row order so the 1-device reference sees the
+    # SAME layout — per-row MC noise is assigned by row index
+    layout = prepare_sharded_layout(inputs, n_devices, n_refl=N_REFL)
     loss_1dev, _ = jax.jit(model.elbo)(params, key, layout)
 
     sharded, mesh = shard_inputs_over_mesh(
