@@ -169,7 +169,20 @@ class VariationalMergingModel:
         z_f = q.sample(k_f, (self.mc_samples,))            # (S, n_refl)
 
         scale_dist = self.scaler.apply(params["scaler"], inputs)
-        z_scale = scale_dist.sample(k_s, (self.mc_samples,))  # (S, N)
+        if (jax.default_backend() == "tpu" and inputs.plans is not None
+                and hasattr(scale_dist, "loc")
+                and hasattr(scale_dist, "scale")):
+            # production TPU path: the (S, N) scale noise comes from the
+            # in-kernel Pallas PRNG (~10x cheaper than threefry at 1M,
+            # statistically gated by the BENCH prng probe); seeds are
+            # key-derived so steps stay reproducible per (key, S)
+            from ...ops.fused_elbo import prng_normal
+            seed = jax.random.randint(k_s, (), 0, jnp.iinfo(jnp.int32).max)
+            eps = jnp.stack([prng_normal(seed + 65537 * s, inputs.n_obs)
+                             for s in range(self.mc_samples)])
+            z_scale = scale_dist.loc + scale_dist.scale * eps
+        else:
+            z_scale = scale_dist.sample(k_s, (self.mc_samples,))  # (S, N)
 
         refl_plan = inputs.plans.refl if inputs.plans else None
         if self.mc_samples == 1:

@@ -87,6 +87,16 @@ def prng_normal_probe(seed: int, n_rows: int = 4096):
     return out.reshape(-1)
 
 
+def prng_normal(seed, n: int):
+    """(n,) standard normals from the in-kernel TPU PRNG — ~10x cheaper
+    than XLA threefry at 1M samples (0.159 ms measured, laue_breakdown).
+    Statistically gated by prng_normal_probe (same bit chain) in every
+    BENCH artifact. seed may be a traced int32 scalar; TPU only."""
+    rows = -(-n // LANES)
+    rows = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+    return prng_normal_probe(seed, rows)[:n]
+
+
 def _common(seed_ref, i, noise_ref, loc_ref, scale_ref, a_ref, f_ref,
             iobs_ref, sig_ref):
     """Recompute the forward chain for one block; shared by fwd and bwd."""

@@ -46,11 +46,13 @@ logger = logging.getLogger(__name__)
 
 LANES = 128
 BLOCK_OBS = 8192            # observations per kernel grid step (64 x 128)
-# give up on the kernel beyond a 6144-entry window: the per-tile chunk loop
-# costs ~linearly in window, and even at 48 chunks it beats the ~6.7 ms/M
-# element-serialized XLA take by >10x (Laue group-compressed layouts measure
-# windows in the mid-30s — 32 missed them by two chunks)
-MAX_WINDOW_CHUNKS = 48
+# give up on the kernel beyond a 10240-entry window: the per-tile chunk
+# loop costs ~linearly in window, and even at 80 chunks it beats the
+# ~6.7 ms/M element-serialized XLA take by ~7x (the chain layout's
+# singleton-heavy regions put the harmonic-convolve windows at exactly 64
+# chunks — the old 48 cap silently dropped that kernel, round-5 measured
+# 13.5 ms/M on the output-time convolve)
+MAX_WINDOW_CHUNKS = 80
 MAX_TABLE_ROWS = 16384      # table must fit comfortably in VMEM (8 MB)
 # one-hot histogram backward for unsorted ids into tables this small: with
 # sqrt(T)-balanced factor widths the histogram beats sort+segment-sum up to
