@@ -160,12 +160,19 @@ class DataManager:
             else:
                 scaler = mlp
 
-        # post-head-folding the plain XLA chain measures FASTER than the
-        # fused likelihood kernel at every size (benchmarks/PERF_NOTES.md
-        # round-4: 280 vs 273 steps/s at 1M obs), so 'auto' now selects the
-        # XLA path; the kernel stays available via 'on'
+        # dispatch policy (benchmarks/fused_sweep.py, PERF_NOTES round-5):
+        # at mc=1 the plain XLA chain beats the fused likelihood kernel at
+        # every size post-head-fold (322 vs 311 steps/s at 1M), but at
+        # mc_samples > 1 on large N the kernel wins decisively (mc=2: 238
+        # vs 175 — the XLA path materializes (S, N) intermediates while
+        # the kernel re-runs flat per sample with in-kernel PRNG). 'auto'
+        # selects accordingly; 'on'/'off' force it.
         fused_flag = getattr(parser, "fused_kernel", "auto")
-        fused = fused_flag == "on"
+        mc = mc_sample_size or parser.mc_samples
+        if fused_flag == "auto":
+            fused = mc > 1 and self.inputs.n_obs >= 500_000
+        else:
+            fused = fused_flag == "on"
 
         model = VariationalMergingModel(
             posterior=posterior, prior=prior, likelihood=likelihood,

@@ -57,8 +57,21 @@ MAX_TABLE_ROWS = 16384      # table must fit comfortably in VMEM (8 MB)
 # one-hot histogram backward for unsorted ids into tables this small: with
 # sqrt(T)-balanced factor widths the histogram beats sort+segment-sum up to
 # ~T=40k (measured 1M obs on v5e: 0.49 vs 2.5 ms at T=2k, 1.36 at T=20k,
-# 2.8 — losing — at T=50k)
+# 2.8 — losing — at T=50k). The crossover grows with N (the sort is
+# ~N log N while the histogram is ~N sqrt(T)): at 10M obs the histogram
+# still wins at T=50k (26.6 vs 35.3 ms, benchmarks/image_axis_probe.py),
+# so the cap doubles at serial-crystallography scale — see _hist_table_cap
 MAX_HIST_TABLE = 32768
+MAX_HIST_TABLE_BIG_N = 65536
+BIG_N_OBS = 4_000_000
+
+
+def _hist_table_cap(n_obs: int) -> int:
+    """Histogram-vs-sort dispatch cap as a function of the observation
+    count (measured crossovers: ~35k images at 1M obs, ~75k at 10M —
+    image_axis_probe.py; past the cap the sort's flat ~3.5 ms/10M-obs
+    cost wins and the multi-chip shard axis is the scaling lever)."""
+    return MAX_HIST_TABLE_BIG_N if n_obs >= BIG_N_OBS else MAX_HIST_TABLE
 # one-hot MXU gather forward for windowless id layouts (the Laue
 # group-contiguous refl gather): cost ~ N * table_rows MXU-issue rows, so it
 # beats the ~6.7 ms/M element-serialized take up to ~1500 table rows
@@ -184,7 +197,7 @@ def make_gather_plan(ids, table_size: int) -> GatherPlan:
     # e.g. a mid-size image table takes the mxu one-hot forward AND the
     # histogram backward
     hist = (not is_sorted and ids2d is not None
-            and table_size <= MAX_HIST_TABLE)
+            and table_size <= _hist_table_cap(n))
     return GatherPlan(
         perm=None if perm is None else perm,
         starts=starts, ends=ends,
@@ -761,7 +774,7 @@ def make_chain_gather_plan(refl_id, harmonic_id,
     rng = np.arange(table_size)
     starts = np.searchsorted(sorted_local, rng, side="left").astype(np.int32)
     ends = np.searchsorted(sorted_local, rng, side="right").astype(np.int32)
-    hist = not is_sorted and table_size <= MAX_HIST_TABLE
+    hist = not is_sorted and table_size <= _hist_table_cap(n)
     inner = GatherPlan(
         perm=perm, starts=starts, ends=ends, ids2d=ids2d, bases=bases,
         window=window, hist=hist,
