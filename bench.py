@@ -396,27 +396,13 @@ def main():
             return bench_scan(t, p, i, n_steps or laue_steps, chunk)
         return f
     run("laue_planned", 90, _laue(plans=True))
-    # the slow side of the Laue planned-vs-XLA ratio: short (the XLA
-    # scatter path is ~9x slower per step, so 50 steps suffice)
-    run("laue_xla", 90, _laue(plans=False, n_steps=50))
 
     if on_tpu:
-        # BASELINE config 2 flavor: Student-t likelihood, fused
-        def _studentt():
-            _, p, t, i = build_problem(n_obs, n_refl, fused=True,
-                                       likelihood="studentt")
-            return bench_scan(t, p, i, steps, chunk)
-        run("fused_studentt", 75, _studentt)
-
-        # --refine-uncertainties (Ev11) on the fused path
-        def _ev11():
-            _, p, t, i = build_problem(n_obs, n_refl, fused=True,
-                                       likelihood="ev11")
-            return bench_scan(t, p, i, steps, chunk)
-        run("fused_ev11", 75, _ev11)
-
         # in-kernel PRNG statistical gate, visible in artifacts (the
-        # TPU-only pytest is always skipped on the CPU test mesh)
+        # TPU-only pytest is always skipped on the CPU test mesh). Always:
+        # the production XLA-chain elbo now draws its scale noise from
+        # this generator (variational.elbo), so the gate must not be
+        # budget-skippable.
         def _probe():
             from careless_tpu.ops.fused_elbo import prng_normal_probe
             eps = np.asarray(jax.jit(prng_normal_probe, static_argnums=1)(
@@ -432,7 +418,26 @@ def main():
                            and abs(kurt - 3) < 0.06),
             }
             return None
-        run("prng_probe", 30, _probe)
+        run("prng_probe", 0, _probe, always=True)
+
+    # the slow side of the Laue planned-vs-XLA ratio: short (the XLA
+    # scatter path is ~60x slower per step, so 50 steps suffice)
+    run("laue_xla", 90, _laue(plans=False, n_steps=50))
+
+    if on_tpu:
+        # BASELINE config 2 flavor: Student-t likelihood, fused
+        def _studentt():
+            _, p, t, i = build_problem(n_obs, n_refl, fused=True,
+                                       likelihood="studentt")
+            return bench_scan(t, p, i, steps // 2, chunk)
+        run("fused_studentt", 60, _studentt)
+
+        # --refine-uncertainties (Ev11) on the fused path
+        def _ev11():
+            _, p, t, i = build_problem(n_obs, n_refl, fused=True,
+                                       likelihood="ev11")
+            return bench_scan(t, p, i, steps // 2, chunk)
+        run("fused_ev11", 60, _ev11)
 
         # ---- skippable tail (diagnostic configs; headline never needs them)
         # shard_map scale-out on a 1-device mesh: per-shard plans + fused

@@ -113,7 +113,7 @@ class BoundaryPlan:
 @partial(jax.tree_util.register_dataclass,
          data_fields=("perm", "starts", "ends", "ids2d", "bases", "bnd",
                       "sort_keys", "perm_plan"),
-         meta_fields=("window", "hist", "mxu"))
+         meta_fields=("window", "hist", "mxu", "stream"))
 @dataclass(frozen=True)
 class GatherPlan:
     """Static transpose/window plan for gathering `table[ids]`.
@@ -154,6 +154,10 @@ class GatherPlan:
     window: int = 0
     hist: bool = False
     mxu: bool = False
+    # windowed kernel streams its table window from HBM per tile
+    # (table_gather.windowed_gather_stream) — set when the table exceeds
+    # the VMEM cap but the windows are tight (chain perm at 10M obs)
+    stream: bool = False
 
 
 def make_boundary_plan(starts: np.ndarray, n: int) -> BoundaryPlan:
@@ -184,9 +188,27 @@ def make_gather_plan(ids, table_size: int) -> GatherPlan:
 
     # suppress the fallback warning when the one-hot MXU forward will take
     # over anyway (windowless layouts over VMEM-scale tables)
-    mxu_ok = -(-table_size // LANES) <= MAX_MXU_GATHER_ROWS
-    ids2d, bases, window = _plan_windows(ids, table_size, is_sorted,
-                                         warn=not mxu_ok)
+    table_rows = -(-table_size // LANES)
+    mxu_ok = table_rows <= MAX_MXU_GATHER_ROWS
+    stream = False
+    if table_rows > MAX_TABLE_ROWS:
+        # table beyond the VMEM cap: try the STREAMING kernel (per-tile
+        # window DMA from HBM) — tight windows still require (quasi-)
+        # sorted ids, checked by the window computation itself
+        ids2d, bases, window = _plan_windows(
+            ids, table_size, is_sorted, warn=False,
+            max_rows=MAX_STREAM_TABLE_ROWS)
+        stream = window > 0
+        if not stream and n > 0:
+            logger.warning(
+                "gather table too large for the windowed TPU kernel "
+                "(%d rows, ~%.1fM entries) and ids do not window: forward "
+                "falls back to the XLA dynamic gather. Consider sharding "
+                "over more devices (--num-devices).",
+                table_rows, table_size / 1e6)
+    else:
+        ids2d, bases, window = _plan_windows(ids, table_size, is_sorted,
+                                             warn=not mxu_ok)
     mxu = False
     if ids2d is None and mxu_ok:
         # windowless layout (ids too spread) but the table is VMEM-scale:
@@ -202,6 +224,7 @@ def make_gather_plan(ids, table_size: int) -> GatherPlan:
         perm=None if perm is None else perm,
         starts=starts, ends=ends,
         ids2d=ids2d, bases=bases, window=window, hist=hist, mxu=mxu,
+        stream=stream,
         # dead weight when the permute is identity (sorted training rows):
         # _apply_perm never reads keys with perm None
         sort_keys=None if is_sorted else ids.astype(np.int32),
@@ -219,14 +242,18 @@ def _pad_ids2d(ids: np.ndarray) -> np.ndarray:
 
 
 def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True,
-                  max_chunks: int = MAX_WINDOW_CHUNKS):
+                  max_chunks: int = MAX_WINDOW_CHUNKS,
+                  max_rows: int = MAX_TABLE_ROWS):
     """Per-tile window bases for the forward kernel (None triple when the
     kernel is not applicable). max_chunks overrides the default give-up
     width (quasi-identity permutation layouts legitimately need >= 64
-    chunks: a tile of 8192 consecutive positions alone spans 64)."""
+    chunks: a tile of 8192 consecutive positions alone spans 64);
+    max_rows > MAX_TABLE_ROWS plans for the STREAMING kernel variant
+    (per-tile window DMA from HBM, table_gather.windowed_gather_stream)
+    — callers must then set the plan's `stream` flag."""
     n = len(ids)
     table_rows = -(-table_size // LANES)
-    if n == 0 or table_rows > MAX_TABLE_ROWS:
+    if n == 0 or table_rows > max_rows:
         if n > 0 and warn:
             logger.warning(
                 "gather table too large for the windowed TPU kernel "
@@ -382,10 +409,11 @@ def _apply_perm(contrib: Array, plan: GatherPlan) -> Array:
     n = contrib.shape[-1]
     pp = plan.perm_plan
     if pp is not None and pp.window > 0:
-        from .table_gather import windowed_gather
+        from .table_gather import windowed_gather, windowed_gather_stream
+        gather = windowed_gather_stream if pp.stream else windowed_gather
 
         def one(row):
-            return windowed_gather(row, pp.ids2d, pp.bases, pp.window)[:n]
+            return gather(row, pp.ids2d, pp.bases, pp.window)[:n]
         if contrib.ndim == 1:
             return one(contrib)
         lead = contrib.shape[:-1]
@@ -530,21 +558,22 @@ _mxu_plan_gather.defvjp(_mxu_fwd, _mxu_bwd)
 # --------------------------------------------------------------------------
 # Pallas-forward path (1-D table with a window plan)
 # --------------------------------------------------------------------------
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
-                          starts, ends, bnd, keys, pp):
-    from .table_gather import windowed_gather
-    return windowed_gather(table, ids2d, bases, window)[:n]
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _windowed_plan_gather(window, n, hist, stream, table, ids2d, bases,
+                          perm, starts, ends, bnd, keys, pp):
+    from .table_gather import windowed_gather, windowed_gather_stream
+    g = windowed_gather_stream if stream else windowed_gather
+    return g(table, ids2d, bases, window)[:n]
 
 
-def _windowed_fwd(window, n, hist, table, ids2d, bases, perm, starts, ends,
-                  bnd, keys, pp):
-    out = _windowed_plan_gather(window, n, hist, table, ids2d, bases, perm,
-                                starts, ends, bnd, keys, pp)
+def _windowed_fwd(window, n, hist, stream, table, ids2d, bases, perm,
+                  starts, ends, bnd, keys, pp):
+    out = _windowed_plan_gather(window, n, hist, stream, table, ids2d,
+                                bases, perm, starts, ends, bnd, keys, pp)
     return out, (perm, starts, ends, ids2d, bnd, keys, pp)
 
 
-def _windowed_bwd(window, n, hist, res, ct):
+def _windowed_bwd(window, n, hist, stream, res, ct):
     perm, starts, ends, ids2d, bnd, keys, pp = res
     dtable = segment_sum_by_plan(
         ct, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
@@ -561,32 +590,35 @@ _windowed_plan_gather.defvjp(_windowed_fwd, _windowed_bwd)
 # Laue harmonic convolution (reference likelihoods/laue.py:17-25). Forward
 # is the planned segment sum; backward is a planned gather of the cotangent.
 # --------------------------------------------------------------------------
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _plan_convolve(window, hist, value, ids, perm, starts, ends, ids2d,
-                   bases, bnd, keys):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _plan_convolve(window, hist, stream, value, ids, perm, starts, ends,
+                   ids2d, bases, bnd, keys):
     return segment_sum_by_plan(
         value, GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
                           hist=hist, bnd=bnd, sort_keys=keys))
 
 
-def _plan_convolve_fwd(window, hist, value, ids, perm, starts, ends, ids2d,
-                       bases, bnd, keys):
-    out = _plan_convolve(window, hist, value, ids, perm, starts, ends,
-                         ids2d, bases, bnd, keys)
+def _plan_convolve_fwd(window, hist, stream, value, ids, perm, starts,
+                       ends, ids2d, bases, bnd, keys):
+    out = _plan_convolve(window, hist, stream, value, ids, perm, starts,
+                         ends, ids2d, bases, bnd, keys)
     return out, (ids, ids2d, bases)
 
 
-def _plan_convolve_bwd(window, hist, res, ct):
+def _plan_convolve_bwd(window, hist, stream, res, ct):
     ids, ids2d, bases = res
     if window > 0 and ids.ndim == 1 and ids2d is not None:
-        from .table_gather import windowed_gather
+        from .table_gather import windowed_gather, windowed_gather_stream
+        g = windowed_gather_stream if stream else windowed_gather
         n = ids.shape[0]
         if ct.ndim == 1:
-            dv = windowed_gather(ct, ids2d, bases, window)[:n]
+            dv = g(ct, ids2d, bases, window)[:n]
         else:
-            dv = jax.vmap(
-                lambda row: windowed_gather(row, ids2d, bases, window)[:n]
-            )(ct)
+            # unroll the (small) sample axis: the stream kernel's DMA is
+            # not vmappable, and S is mc_samples
+            rows = [g(ct[s], ids2d, bases, window)[:n]
+                    for s in range(ct.shape[0])]
+            dv = jnp.stack(rows)
     else:
         dv = jnp.take(ct, ids, axis=-1)
     return dv, None, None, None, None, None, None, None, None
@@ -607,9 +639,9 @@ def plan_convolve(value: Array, ids: Array,
         return jnp.zeros_like(value).at[..., ids].add(value)
     # hist is tuned for small tables; here table_size == n_obs, so the
     # cumsum path is always the right branch
-    return _plan_convolve(plan.window, False, value, ids, plan.perm,
-                          plan.starts, plan.ends, plan.ids2d, plan.bases,
-                          plan.bnd, plan.sort_keys)
+    return _plan_convolve(plan.window, False, plan.stream, value, ids,
+                          plan.perm, plan.starts, plan.ends, plan.ids2d,
+                          plan.bases, plan.bnd, plan.sort_keys)
 
 
 def plan_gather(table: Array, ids: Array, plan) -> Array:
@@ -624,9 +656,9 @@ def plan_gather(table: Array, ids: Array, plan) -> Array:
         return _chain_gather(table, ids, plan)
     if plan.window > 0 and table.ndim == 1 and ids.ndim == 1:
         return _windowed_plan_gather(
-            plan.window, ids.shape[0], plan.hist, table, plan.ids2d,
-            plan.bases, plan.perm, plan.starts, plan.ends, plan.bnd,
-            plan.sort_keys, plan.perm_plan)
+            plan.window, ids.shape[0], plan.hist, plan.stream, table,
+            plan.ids2d, plan.bases, plan.perm, plan.starts, plan.ends,
+            plan.bnd, plan.sort_keys, plan.perm_plan)
     if plan.mxu and ids.ndim == 1:
         def one(tab):
             return _mxu_plan_gather(
@@ -665,6 +697,9 @@ def plan_gather(table: Array, ids: Array, plan) -> Array:
 # (a tile of 8192 consecutive positions alone covers 64); beyond 160 the
 # per-tile chunk loop approaches the sort's cost and the sort wins
 PERM_WINDOW_CHUNKS = 160
+# table cap for the STREAMING windowed kernel (per-tile window DMA from
+# HBM — table_gather.windowed_gather_stream): bounded by HBM, not VMEM
+MAX_STREAM_TABLE_ROWS = 1 << 20  # 134M entries
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -729,9 +764,9 @@ def _chain_gather(table: Array, ids: Array, plan: ChainGatherPlan) -> Array:
                                 plan.sigma_inv, plan.sigma2d,
                                 plan.sigma_inv2d)
         return _windowed_plan_gather(
-            inner.window, ids.shape[0], inner.hist, z_perm, inner.ids2d,
-            inner.bases, inner.perm, inner.starts, inner.ends, inner.bnd,
-            inner.sort_keys, inner.perm_plan)
+            inner.window, ids.shape[0], inner.hist, inner.stream, z_perm,
+            inner.ids2d, inner.bases, inner.perm, inner.starts,
+            inner.ends, inner.bnd, inner.sort_keys, inner.perm_plan)
 
     if table.ndim == 1:
         return one(table)
@@ -766,11 +801,13 @@ def make_chain_gather_plan(refl_id, harmonic_id,
         perm = np.argsort(local, kind="stable").astype(np.int32)
         sorted_local = local[perm]
         p2d, pb, pw = _plan_windows(perm, n, False, warn=False,
-                                    max_chunks=PERM_WINDOW_CHUNKS)
+                                    max_chunks=PERM_WINDOW_CHUNKS,
+                                    max_rows=MAX_STREAM_TABLE_ROWS)
         if p2d is None:
             return None  # displacement too large: sort would win anyway
         perm_plan = GatherPlan(perm=None, starts=None, ends=None,
-                               ids2d=p2d, bases=pb, window=pw)
+                               ids2d=p2d, bases=pb, window=pw,
+                               stream=-(-n // LANES) > MAX_TABLE_ROWS)
     rng = np.arange(table_size)
     starts = np.searchsorted(sorted_local, rng, side="left").astype(np.int32)
     ends = np.searchsorted(sorted_local, rng, side="right").astype(np.int32)

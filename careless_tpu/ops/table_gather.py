@@ -53,6 +53,73 @@ def _kernel(window: int):
     return kernel
 
 
+def _stream_kernel(window: int):
+    """Like _kernel, but the table lives in HBM (pl.ANY) and each tile
+    DMAs only its [base, base+window) row window into VMEM scratch —
+    lifting the whole-table-in-VMEM cap (MAX_TABLE_ROWS) for layouts
+    whose windows are tight but whose tables are huge (the chain
+    layout's quasi-identity backward permute at 10M observations: the
+    'table' is the N-sized contribution array itself)."""
+    def kernel(bases_ref, table_ref, ids_ref, out_ref, tbl, sem):
+        i = pl.program_id(0)
+        base = bases_ref[i]
+        copy = pltpu.make_async_copy(
+            table_ref.at[pl.ds(base, window), :], tbl, sem)
+        copy.start()
+        ids = ids_ref[:]
+        chunk_idx = jax.lax.div(ids, LANES) - base
+        lane = jax.lax.rem(ids, LANES)
+        copy.wait()
+        acc = jnp.zeros(ids.shape, jnp.float32)
+        for c in range(window):
+            row = tbl[pl.ds(c, 1), :]
+            bc = jnp.broadcast_to(row, ids.shape)
+            sel = jnp.take_along_axis(bc, lane, axis=1)
+            acc = jnp.where(chunk_idx == c, sel, acc)
+        out_ref[:] = acc
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(3,))
+def windowed_gather_stream(table: jax.Array, ids2d: jax.Array,
+                           bases: jax.Array, window: int) -> jax.Array:
+    """windowed_gather for tables beyond the VMEM cap: HBM-resident
+    table, per-tile window DMA. Same contract as windowed_gather."""
+    if _interpret():
+        # interpret mode has no VMEM limit; reuse the plain kernel
+        return windowed_gather(table, ids2d, bases, window)
+    # DMA/scratch sublane alignment: round the window to a multiple of 8
+    # rows and re-clamp bases (they only move DOWN, so every tile's id
+    # range stays inside [base, base + w8))
+    w8 = -(-window // 8) * 8
+    t = table.shape[0]
+    rows = max(-(-t // LANES), w8)
+    pad = rows * LANES - t
+    table2d = jnp.concatenate(
+        [table, jnp.zeros((pad,), table.dtype)]).reshape(rows, LANES)
+    bases = jnp.minimum(bases, rows - w8).astype(bases.dtype)
+    n_rows = ids2d.shape[0]
+    grid = (n_rows // BLOCK_ROWS,)
+    out = pl.pallas_call(
+        _stream_kernel(w8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # bases
+            pl.BlockSpec(memory_space=pl.ANY),            # table (HBM)
+            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),        # ids tile
+        ],
+        out_specs=pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), table.dtype),
+        scratch_shapes=[pltpu.VMEM((w8, LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=_interpret(),
+    )(bases, table2d, ids2d)
+    return out.reshape(-1)
+
+
 @partial(jax.jit, static_argnums=(3,))
 def windowed_gather(table: jax.Array, ids2d: jax.Array, bases: jax.Array,
                     window: int) -> jax.Array:

@@ -190,9 +190,12 @@ def _stack_gather_plans(plans: List, n_local: int):
 
     windows = [p.window for p in plans]
     mxu = False
+    stream = False
     if all(w > 0 for w in windows) and all(
-            p.ids2d is not None for p in plans):
+            p.ids2d is not None for p in plans) and len(
+                {p.stream for p in plans}) == 1:
         window = max(windows)
+        stream = plans[0].stream
         ids2d = np.stack([np.asarray(p.ids2d) for p in plans])
         # re-clamp bases for the unified (possibly larger) window: coverage
         # [base, base+window) still contains each tile's id range because
@@ -223,7 +226,7 @@ def _stack_gather_plans(plans: List, n_local: int):
     pps = [p.perm_plan for p in plans]
     perm_plan = None
     if all(pp is not None and pp.window > 0 and pp.ids2d is not None
-           for pp in pps):
+           for pp in pps) and len({pp.stream for pp in pps}) == 1:
         pw = max(pp.window for pp in pps)
         rows_local = -(-n_local // 128)
         perm_plan = GatherPlan(
@@ -233,7 +236,7 @@ def _stack_gather_plans(plans: List, n_local: int):
                 np.minimum(np.asarray(pp.bases),
                            max(rows_local - pw, 0)).astype(np.int32)
                 for pp in pps]),
-            window=pw)
+            window=pw, stream=pps[0].stream)
 
     # boundary plans: stack when every shard has one with the windowed
     # chunk-prefix resolve (uniform meta like the main window); otherwise
@@ -268,7 +271,8 @@ def _stack_gather_plans(plans: List, n_local: int):
                            cp_window=cp_window)
     return GatherPlan(perm=perm, starts=starts, ends=ends, ids2d=ids2d,
                       bases=bases, window=window, hist=hist, mxu=mxu,
-                      sort_keys=sort_keys, perm_plan=perm_plan, bnd=bnd)
+                      stream=stream, sort_keys=sort_keys,
+                      perm_plan=perm_plan, bnd=bnd)
 
 
 def _stack_chain_plans(plans: List, n_local: int, n_refl: int):

@@ -211,3 +211,32 @@ def test_windows_survive_partial_last_tile(rng):
         ids[1::97][:len(q[0::97])]
     _, _, w2 = _plan_windows(q, 60_000, False, warn=False)
     assert w2 > 0
+
+
+def test_stream_perm_plan_engages_past_vmem_cap(rng, monkeypatch):
+    """When the observation axis outgrows the windowed kernel's VMEM table
+    cap, the chain plan's backward permute switches to the STREAMING
+    kernel variant (per-tile window DMA) instead of falling back to the
+    sort (measured 3.7 vs 35.1 ms at 10M obs on v5e). Forced here by
+    shrinking the cap; interpret mode routes the stream kernel through
+    the plain windowed kernel, so values stay exact."""
+    import careless_tpu.ops.plan_gather as pg
+
+    refl_id, hid, n = _chain_problem(rng)
+    inp = _pack_inputs(refl_id, hid, rng)
+    cs = inp.sorted_by_harmonic(600)
+    monkeypatch.setattr(pg, "MAX_TABLE_ROWS", 8)  # force rows > cap
+    plan = pg.make_chain_gather_plan(cs.refl_id, cs.harmonic_id, 600)
+    assert plan is not None and plan.inner.perm_plan is not None
+    assert plan.inner.perm_plan.stream
+    table = rng.normal(size=600).astype(np.float32)
+    ids = np.asarray(cs.refl_id)
+    ct = rng.normal(size=len(ids)).astype(np.float32)
+
+    def loss(t):
+        return jnp.sum(plan_gather(t, jnp.asarray(ids), plan)
+                       * jnp.asarray(ct))
+    g = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(table)))
+    gref = np.zeros(600, np.float32)
+    np.add.at(gref, ids, ct)
+    np.testing.assert_allclose(g, gref, rtol=1e-3, atol=1e-4)
