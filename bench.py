@@ -392,8 +392,11 @@ def main():
 
     def _laue(plans=True, n_steps=None):
         def f():
+            ns = n_steps or laue_steps
             _, p, t, i = build_problem(n_obs, n_refl, laue=True, plans=plans)
-            return bench_scan(t, p, i, n_steps or laue_steps, chunk)
+            # chunk must not exceed ns: bench_scan runs whole chunks, so a
+            # larger chunk would run more steps than it divides by
+            return bench_scan(t, p, i, ns, min(chunk, ns))
         return f
     run("laue_planned", 90, _laue(plans=True))
 
@@ -438,6 +441,20 @@ def main():
                                        likelihood="ev11")
             return bench_scan(t, p, i, steps // 2, chunk)
         run("fused_ev11", 60, _ev11)
+
+        # mc_samples=2: the fused kernel's measured niche (auto selects it
+        # here, benchmarks/fused_sweep.py: 238 vs 175 steps/s)
+        def _mc2():
+            from dataclasses import replace
+
+            from careless_tpu.models.merging.variational import Trainer
+            model, _, _, i = build_problem(n_obs, n_refl, fused=True)
+            model = replace(model, mc_samples=2)
+            p = model.init(jax.random.PRNGKey(0), i,
+                           (np.asarray(model.prior.mean()),
+                            np.asarray(model.prior.stddev())))
+            return bench_scan(Trainer(model), p, i, steps // 2, chunk)
+        run("fused_mc2", 60, _mc2)
 
         # ---- skippable tail (diagnostic configs; headline never needs them)
         # shard_map scale-out on a 1-device mesh: per-shard plans + fused
