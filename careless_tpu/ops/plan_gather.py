@@ -113,7 +113,7 @@ class BoundaryPlan:
 @partial(jax.tree_util.register_dataclass,
          data_fields=("perm", "starts", "ends", "ids2d", "bases", "bnd",
                       "sort_keys", "perm_plan"),
-         meta_fields=("window", "hist", "mxu", "stream"))
+         meta_fields=("window", "hist", "mxu", "stream", "block_rows"))
 @dataclass(frozen=True)
 class GatherPlan:
     """Static transpose/window plan for gathering `table[ids]`.
@@ -158,6 +158,11 @@ class GatherPlan:
     # (table_gather.windowed_gather_stream) — set when the table exceeds
     # the VMEM cap but the windows are tight (chain perm at 10M obs)
     stream: bool = False
+    # windowed-kernel tile height (rows of 128): quasi-identity
+    # permutation layouts measure fastest at 16 (their window's
+    # structural floor is the tile height itself: 0.384 vs 0.545 ms/M at
+    # 64); windowed table gathers keep the default 64
+    block_rows: int = 64
 
 
 def make_boundary_plan(starts: np.ndarray, n: int) -> BoundaryPlan:
@@ -243,7 +248,8 @@ def _pad_ids2d(ids: np.ndarray) -> np.ndarray:
 
 def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True,
                   max_chunks: int = MAX_WINDOW_CHUNKS,
-                  max_rows: int = MAX_TABLE_ROWS):
+                  max_rows: int = MAX_TABLE_ROWS,
+                  block_obs: int = BLOCK_OBS):
     """Per-tile window bases for the forward kernel (None triple when the
     kernel is not applicable). max_chunks overrides the default give-up
     width (quasi-identity permutation layouts legitimately need >= 64
@@ -263,7 +269,7 @@ def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True,
                 table_rows, MAX_TABLE_ROWS, table_size / 1e6)
         return None, None, 0
     rows = -(-n // LANES)
-    rows_pad = -(-rows // (BLOCK_OBS // LANES)) * (BLOCK_OBS // LANES)
+    rows_pad = -(-rows // (block_obs // LANES)) * (block_obs // LANES)
     # pad with the LAST id, never 0: on sorted/quasi-sorted layouts a
     # 0-pad makes the final tile span the whole table (its window covers
     # [0, max id]), silently disqualifying the kernel (round-5 chain-layout
@@ -273,8 +279,8 @@ def _plan_windows(ids, table_size: int, is_sorted: bool, warn: bool = True,
     flat[:n] = ids
     ids2d = flat.reshape(rows_pad, LANES)
 
-    n_tiles = rows_pad * LANES // BLOCK_OBS
-    tiles = flat.reshape(n_tiles, BLOCK_OBS)
+    n_tiles = rows_pad * LANES // block_obs
+    tiles = flat.reshape(n_tiles, block_obs)
     lo = tiles.min(axis=1) // LANES
     hi = tiles.max(axis=1) // LANES
     window = int((hi - lo).max()) + 1
@@ -413,7 +419,8 @@ def _apply_perm(contrib: Array, plan: GatherPlan) -> Array:
         gather = windowed_gather_stream if pp.stream else windowed_gather
 
         def one(row):
-            return gather(row, pp.ids2d, pp.bases, pp.window)[:n]
+            return gather(row, pp.ids2d, pp.bases, pp.window,
+                          pp.block_rows)[:n]
         if contrib.ndim == 1:
             return one(contrib)
         lead = contrib.shape[:-1]
@@ -800,14 +807,20 @@ def make_chain_gather_plan(refl_id, harmonic_id,
     if not is_sorted:
         perm = np.argsort(local, kind="stable").astype(np.int32)
         sorted_local = local[perm]
+        # measured block policy (benchmarks round-5): 2048-entry tiles for
+        # the VMEM perm kernel (window floor = tile height), default 8192
+        # for the streaming variant (fewer, larger DMAs)
+        stream = -(-n // LANES) > MAX_TABLE_ROWS
+        block = BLOCK_OBS if stream else 2048
         p2d, pb, pw = _plan_windows(perm, n, False, warn=False,
                                     max_chunks=PERM_WINDOW_CHUNKS,
-                                    max_rows=MAX_STREAM_TABLE_ROWS)
+                                    max_rows=MAX_STREAM_TABLE_ROWS,
+                                    block_obs=block)
         if p2d is None:
             return None  # displacement too large: sort would win anyway
         perm_plan = GatherPlan(perm=None, starts=None, ends=None,
                                ids2d=p2d, bases=pb, window=pw,
-                               stream=-(-n // LANES) > MAX_TABLE_ROWS)
+                               stream=stream, block_rows=block // LANES)
     rng = np.arange(table_size)
     starts = np.searchsorted(sorted_local, rng, side="left").astype(np.int32)
     ends = np.searchsorted(sorted_local, rng, side="right").astype(np.int32)

@@ -81,14 +81,15 @@ def _stream_kernel(window: int):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3, 4))
 def windowed_gather_stream(table: jax.Array, ids2d: jax.Array,
-                           bases: jax.Array, window: int) -> jax.Array:
+                           bases: jax.Array, window: int,
+                           block_rows: int = BLOCK_ROWS) -> jax.Array:
     """windowed_gather for tables beyond the VMEM cap: HBM-resident
     table, per-tile window DMA. Same contract as windowed_gather."""
     if _interpret():
         # interpret mode has no VMEM limit; reuse the plain kernel
-        return windowed_gather(table, ids2d, bases, window)
+        return windowed_gather(table, ids2d, bases, window, block_rows)
     # DMA/scratch sublane alignment: round the window to a multiple of 8
     # rows and re-clamp bases (they only move DOWN, so every tile's id
     # range stays inside [base, base + w8))
@@ -100,17 +101,17 @@ def windowed_gather_stream(table: jax.Array, ids2d: jax.Array,
         [table, jnp.zeros((pad,), table.dtype)]).reshape(rows, LANES)
     bases = jnp.minimum(bases, rows - w8).astype(bases.dtype)
     n_rows = ids2d.shape[0]
-    grid = (n_rows // BLOCK_ROWS,)
+    grid = (n_rows // block_rows,)
     out = pl.pallas_call(
         _stream_kernel(w8),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # bases
             pl.BlockSpec(memory_space=pl.ANY),            # table (HBM)
-            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),        # ids tile
         ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, LANES), table.dtype),
         scratch_shapes=[pltpu.VMEM((w8, LANES), jnp.float32),
@@ -120,15 +121,21 @@ def windowed_gather_stream(table: jax.Array, ids2d: jax.Array,
     return out.reshape(-1)
 
 
-@partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3, 4))
 def windowed_gather(table: jax.Array, ids2d: jax.Array, bases: jax.Array,
-                    window: int) -> jax.Array:
+                    window: int,
+                    block_rows: int = BLOCK_ROWS) -> jax.Array:
     """table[ids] for a (R, 128)-tiled id array with per-tile windows.
 
     table: (T,) f32 — padded to whole 128-entry rows internally
-    ids2d: (R, 128) int32, R a multiple of BLOCK_ROWS (plan-time padding)
-    bases: (R // BLOCK_ROWS,) int32 window base ROW per tile, clamped so
+    ids2d: (R, 128) int32, R a multiple of block_rows (plan-time padding)
+    bases: (R // block_rows,) int32 window base ROW per tile, clamped so
            [base, base+window) is inside the padded table
+    block_rows: tile height — smaller tiles shrink per-tile windows on
+           quasi-identity layouts (the window's structural floor is
+           block_rows * 128 / 128 = block_rows chunks), trading grid
+           steps for chunk-loop iterations; plan-time picks the minimum
+           total work (plan_gather._best_block)
     returns (R * 128,) f32 — caller slices to the real observation count
     """
     t = table.shape[0]
@@ -138,7 +145,7 @@ def windowed_gather(table: jax.Array, ids2d: jax.Array, bases: jax.Array,
     table2d = jnp.concatenate(
         [table, jnp.zeros((pad,), table.dtype)]).reshape(rows, LANES)
     n_rows = ids2d.shape[0]
-    grid = (n_rows // BLOCK_ROWS,)
+    grid = (n_rows // block_rows,)
 
     out = pl.pallas_call(
         _kernel(window),
@@ -147,10 +154,10 @@ def windowed_gather(table: jax.Array, ids2d: jax.Array, bases: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),        # bases
             pl.BlockSpec((rows, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),        # whole table
-            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),        # ids tile
         ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, LANES), table.dtype),
         interpret=_interpret(),

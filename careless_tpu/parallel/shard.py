@@ -226,7 +226,8 @@ def _stack_gather_plans(plans: List, n_local: int):
     pps = [p.perm_plan for p in plans]
     perm_plan = None
     if all(pp is not None and pp.window > 0 and pp.ids2d is not None
-           for pp in pps) and len({pp.stream for pp in pps}) == 1:
+           for pp in pps) and len(
+               {(pp.stream, pp.block_rows) for pp in pps}) == 1:
         pw = max(pp.window for pp in pps)
         rows_local = -(-n_local // 128)
         perm_plan = GatherPlan(
@@ -236,7 +237,8 @@ def _stack_gather_plans(plans: List, n_local: int):
                 np.minimum(np.asarray(pp.bases),
                            max(rows_local - pw, 0)).astype(np.int32)
                 for pp in pps]),
-            window=pw, stream=pps[0].stream)
+            window=pw, stream=pps[0].stream,
+            block_rows=pps[0].block_rows)
 
     # boundary plans: stack when every shard has one with the windowed
     # chunk-prefix resolve (uniform meta like the main window); otherwise
