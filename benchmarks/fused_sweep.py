@@ -9,7 +9,6 @@ either find the kernel a niche or justify its deprecation.
 Usage: python benchmarks/fused_sweep.py
 """
 import sys
-import time
 
 import numpy as np
 

@@ -143,10 +143,13 @@ def _run_xval_parallel(dm, trained_params, parser, progress):
     model, params, trainer = dm.build_model()
     params["scaler"] = trained_params["scaler"]
     trainer = type(trainer)(**{**trainer.__dict__, "freeze": ("scaler",)})
-    # same row order as the serial path's _shard_inputs (per-row MC noise
-    # is assigned by row index, so this keeps parallel == serial exactly)
+    # same row order as the serial path's _shard_inputs — including the
+    # Laue CHAIN order (sorted_by_harmonic(n_refl)) — because per-row MC
+    # noise is assigned by row index; a layout mismatch would silently
+    # break parallel == serial (round-5 review finding)
     stacked = stack_halves([
-        h.sorted_by_harmonic() if h.is_laue else h.sorted_by_refl()
+        h.sorted_by_harmonic(dm.n_refl) if h.is_laue
+        else h.sorted_by_refl()
         for h in halves])
     half_keys = make_half_keys(parser.seed, parser.half_dataset_repeats)
     trained = train_halves(

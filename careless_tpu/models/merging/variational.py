@@ -39,13 +39,29 @@ Array = jax.Array
 
 
 def fused_seed_spacing(samples_per_shard: int) -> int:
-    """Per-shard seed stride for the fused kernel's in-kernel PRNG.
+    """Per-shard index stride for the fused kernel's in-kernel PRNG.
 
-    Shard j, sample s draws from seed base + s + j * spacing; uniqueness
-    over all (s, j) pairs requires spacing >= samples_per_shard (round-4
+    Shard j, sample s maps to index s + j * spacing; uniqueness over all
+    (s, j) pairs requires spacing >= samples_per_shard (round-4
     regression: a fixed 31 collided at mc > 31 — shard i sample 31 equals
-    shard i+1 sample 0, silently duplicating noise streams)."""
+    shard i+1 sample 0)."""
     return max(31, samples_per_shard)
+
+
+# the kernel seeds each 8192-obs block with base + block_index, so seed
+# BASES of distinct (sample, shard) pairs must differ by more than the
+# per-call block count or their noise streams overlap block-shifted
+# (round-5 review finding: bases one apart made sample s+1's stream equal
+# sample s's shifted by one block). 65537 > any block count up to 500M
+# observations per call.
+FUSED_STREAM_STRIDE = 65537
+
+
+def fused_shard_seed(seed, s: int, shard_index,
+                     samples_per_shard: int):
+    """Stream-disjoint in-kernel PRNG seed base for (sample, shard)."""
+    idx = s + shard_index * fused_seed_spacing(samples_per_shard)
+    return seed * 1009 + idx * FUSED_STREAM_STRIDE
 
 
 def _global_norm(tree) -> Array:
@@ -295,10 +311,13 @@ class VariationalMergingModel:
         'obs' axis; z_f, the KL, and all parameters replicated. z_f and the
         per-row noise eps are sampled OUTSIDE the region with the same keys
         and global shapes as the unsharded elbo, so the result equals the
-        1-device run on the same layout exactly (shard-invariance tests).
-        The TPU fused kernel instead uses its in-kernel PRNG with a
-        per-shard seed (statistically, not bitwise, device-count
-        invariant)."""
+        1-device PLAN-FREE run on the same layout exactly
+        (shard-invariance tests). Two statistical-only equivalences: the
+        TPU fused kernel uses its in-kernel PRNG with stream-disjoint
+        per-(sample, shard) seeds, and on TPU the PLANNED unsharded elbo
+        also draws its scale noise from that generator — so sharded ==
+        planned-unsharded holds bitwise on CPU and within MC noise on
+        TPU."""
         from jax import lax, shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -370,10 +389,9 @@ class VariationalMergingModel:
                 kind, dof = model._fused_likelihood_kind()
                 ev11 = model._fused_ev11_scalars(kind, lik_params)
                 ll_sum = 0.0
-                spacing = fused_seed_spacing(mc)
                 for s in range(mc):
-                    shard_seed = (seed * 1009 + s
-                                  + lax.axis_index("obs") * spacing)
+                    shard_seed = fused_shard_seed(
+                        seed, s, lax.axis_index("obs"), mc)
                     ll_sum = ll_sum + fused_likelihood_sum(
                         mlp_dist.loc, mlp_dist.scale, image_scales, z_f[s],
                         local.refl_id, image_id, local.intensities,
@@ -438,7 +456,9 @@ class VariationalMergingModel:
         per-row noise (S, N) split on the sample axis; each device scores
         its S/D samples over the whole dataset and the sums psum over
         'mc'. Sampling uses the same keys/global shapes as the unsharded
-        elbo, so the result is bitwise device-count invariant."""
+        elbo, so the result is bitwise device-count invariant against the
+        plan-free unsharded elbo (on TPU the PLANNED elbo swaps threefry
+        for the in-kernel PRNG, making that comparison statistical)."""
         from jax import lax, shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -494,10 +514,9 @@ class VariationalMergingModel:
                 kind, dof = model._fused_likelihood_kind()
                 ev11 = model._fused_ev11_scalars(kind, lik_params)
                 ll_sum = 0.0
-                spacing = fused_seed_spacing(mc_local)
                 for s in range(mc_local):
-                    shard_seed = (seed * 1009 + s
-                                  + lax.axis_index("mc") * spacing)
+                    shard_seed = fused_shard_seed(
+                        seed, s, lax.axis_index("mc"), mc_local)
                     ll_sum = ll_sum + fused_likelihood_sum(
                         mlp_dist.loc, mlp_dist.scale, image_scales, z_f[s],
                         local.refl_id, image_id, local.intensities,

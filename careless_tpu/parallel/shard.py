@@ -83,13 +83,22 @@ def pad_inputs_to_multiple(inputs: Inputs, multiple: int) -> Inputs:
     )
 
 
-def _laue_group_aligned_order(inputs: Inputs, num_shards: int) -> Inputs:
+def _laue_group_aligned_order(inputs: Inputs, num_shards: int,
+                              n_refl: Optional[int] = None) -> Inputs:
     """Reorder observations so harmonic groups are contiguous, then pad each
     shard to a group boundary. Keeps the scatter-add shard-local.
 
     The group-compressed intensities (first n_groups rows) must be repacked
     to the new group numbering, exactly like the reference's Laue splitter
     (manager.py:299-343).
+
+    n_refl (chain layouts): shard cuts additionally align to harmonic-CHAIN
+    boundaries. A chain whose groups straddle two shards leaves straggler
+    rows whose per-shard chain label (min observed refl id) lands far from
+    their row position, blowing the per-shard gather windows and silently
+    dropping the chain plan (round-5 finding: ONE straggler row per 1M-obs
+    shard was enough). Chains are <= ~tens of rows, so balance is
+    unaffected.
     """
     hid = np.asarray(inputs.harmonic_id)
     order = np.argsort(hid, kind="stable")
@@ -101,16 +110,26 @@ def _laue_group_aligned_order(inputs: Inputs, num_shards: int) -> Inputs:
     iobs = np.asarray(inputs.intensities)[: len(uniq)]
     sig = np.asarray(inputs.uncertainties)[: len(uniq)]
 
-    # assign whole groups round-robin-by-size to shards (greedy balance on
-    # row counts, preserving order within shard)
+    group_chain = None
+    if n_refl is not None and len(uniq):
+        from ..ops.chain_layout import chain_labels
+        rid = np.asarray(inputs.refl_id)
+        lab = chain_labels(rid, hid, n_refl)
+        # chain label of each group = label of its first row's reflection
+        group_chain = lab[rid[order[first_idx]]]
+
+    # assign whole groups (whole CHAINS when known) greedily to shards
+    # (balance on row counts, preserving order within shard)
     target = int(np.ceil(n / num_shards))
     shard_rows = [[] for _ in range(num_shards)]
     shard_groups = [[] for _ in range(num_shards)]
     s = 0
     for gi in range(len(uniq)):
         rows = order[first_idx[gi]: first_idx[gi] + counts[gi]]
-        if len(shard_rows[s]) + len(rows) > target and s < num_shards - 1 \
-           and len(shard_rows[s]) > 0:
+        chain_boundary = (group_chain is None or gi == 0
+                          or group_chain[gi] != group_chain[gi - 1])
+        if chain_boundary and s < num_shards - 1 and len(shard_rows[s]) > 0 \
+           and len(shard_rows[s]) + len(rows) > target:
             s += 1
         shard_rows[s].extend(rows.tolist())
         shard_groups[s].append(gi)
@@ -118,15 +137,23 @@ def _laue_group_aligned_order(inputs: Inputs, num_shards: int) -> Inputs:
     width = max(max(len(r) for r in shard_rows),
                 max(len(g) for g in shard_groups))
 
-    def build(field, padvalue, dtype):
+    def build(field, padvalue, dtype, pad_like_last=False):
         out = np.full((num_shards, width) + np.shape(field)[1:], padvalue,
                       dtype=dtype)
         for si, rows in enumerate(shard_rows):
             out[si, : len(rows)] = np.asarray(field)[rows]
+            if pad_like_last and rows:
+                # padding rows repeat the shard's LAST value: a constant-0
+                # refl pad joins the chain of reflection 0 (renumbered to
+                # local id ~0) and makes the boundary tile's gather window
+                # span the whole table, silently disqualifying the
+                # per-shard chain plan at scale (round-5 review finding);
+                # pad rows are mask-0 so the value itself never matters
+                out[si, len(rows):] = out[si, len(rows) - 1]
         return out.reshape((num_shards * width,) + np.shape(field)[1:])
 
     new = {
-        "refl_id": build(inputs.refl_id, 0, np.int32),
+        "refl_id": build(inputs.refl_id, 0, np.int32, pad_like_last=True),
         "image_id": build(inputs.image_id, 0, np.int32),
         "file_id": build(inputs.file_id, 0, np.int32),
         "metadata": build(inputs.metadata, 0.0, np.float32),
@@ -149,9 +176,12 @@ def _laue_group_aligned_order(inputs: Inputs, num_shards: int) -> Inputs:
         local = {g: j for j, g in enumerate(groups)}
         hid_new[si, : len(rows)] = [
             si * width + local[hid[r]] for r in rows]
-        # padding rows scatter into themselves
-        for j in range(len(rows), width):
-            hid_new[si, j] = si * width + j
+        # padding rows scatter into their own fresh (masked-out) groups,
+        # numbered CONTIGUOUSLY after the real ones — numbering them by
+        # raw row index left a len(rows)-len(groups) id gap that blew the
+        # per-shard harmonic plan's gather windows at the boundary tile
+        for k, j in enumerate(range(len(rows), width)):
+            hid_new[si, j] = si * width + len(groups) + k
         for j, g in enumerate(groups):
             intens[si, j] = iobs[g]
             sigma[si, j] = sig[g]
@@ -392,7 +422,7 @@ def prepare_sharded_layout(inputs: Inputs, num_shards: int,
             # are renumbered to chain order, and the stable argsort by
             # group id preserves it)
             inputs = inputs.sorted_by_harmonic(n_refl)
-        return _laue_group_aligned_order(inputs, num_shards)
+        return _laue_group_aligned_order(inputs, num_shards, n_refl=n_refl)
     if inputs.n_obs > 1:
         rid = np.asarray(inputs.refl_id)
         if not bool(np.all(rid[1:] >= rid[:-1])):

@@ -109,9 +109,10 @@ def test_sorted_by_harmonic_chain_repacks_groups(rng):
     cs = inp.sorted_by_harmonic(600)
     h = np.asarray(cs.harmonic_id)
     n_groups = int(hid.max()) + 1
-    # dense renumbered groups, contiguous runs
+    # dense renumbered groups, contiguous runs (first-appearance
+    # renumbering makes the sorted-run sequence exactly nondecreasing)
     assert h.min() == 0 and h.max() == n_groups - 1
-    assert np.all(np.diff(h) >= 0) or True  # groups need only be contiguous
+    assert np.all(np.diff(h) >= 0)
     starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
     assert len(starts) == n_groups
     # each new group's packed intensity equals its old group's: match

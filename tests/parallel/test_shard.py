@@ -201,11 +201,18 @@ def test_mc_axis_sharding_rejects_indivisible():
 def test_fused_seed_spacing_no_collisions():
     """No two (sample, shard) pairs may share an in-kernel PRNG seed for
     any mc up to 64 on an 8-shard mesh (VERDICT r4 Weak #4: a fixed
-    31-stride collided at mc > 31)."""
-    from careless_tpu.models.merging.variational import fused_seed_spacing
+    31-stride collided at mc > 31) — and the seed BASES must be spaced by
+    more than any per-call block count, because the kernel seeds each
+    8192-obs block with base + block_index (bases one apart give
+    block-shifted duplicate noise streams, round-5 review finding)."""
+    from careless_tpu.models.merging.variational import (
+        FUSED_STREAM_STRIDE, fused_shard_seed)
 
+    max_blocks = 10_000_000 // 8192 + 1  # 10M-obs call
     for mc in range(1, 65):
-        spacing = fused_seed_spacing(mc)
-        seeds = [s + shard * spacing
-                 for shard in range(8) for s in range(mc)]
-        assert len(set(seeds)) == len(seeds), f"seed collision at mc={mc}"
+        seeds = sorted(int(fused_shard_seed(0, s, shard, mc))
+                       for shard in range(8) for s in range(mc))
+        gaps = np.diff(seeds)
+        assert (gaps > 0).all(), f"seed collision at mc={mc}"
+        assert gaps.min() >= FUSED_STREAM_STRIDE >= max_blocks, \
+            f"stream overlap at mc={mc}: min gap {gaps.min()}"

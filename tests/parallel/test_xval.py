@@ -114,3 +114,29 @@ def test_cli_parallel_xval_equals_serial(tmp_path, pyp_off_mtz):
                                   b[["H", "K", "L", "repeat", "half"]])
     np.testing.assert_allclose(a["F"], b["F"], rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(a["SigF"], b["SigF"], rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_cli_parallel_xval_equals_serial_poly(tmp_path, pyp_off_mtz):
+    """Laue end-to-end: parallel and serial xval must agree — both must
+    use the CHAIN row order (round-5 regression: the parallel path kept
+    the legacy harmonic sort while the serial path moved to chain order,
+    silently training the halves on different per-row MC noise)."""
+    from careless_tpu.main import main
+    from careless_tpu.xtal.mtz import read_mtz
+
+    outs = {}
+    for mode in ("parallel", "serial"):
+        out = str(tmp_path / mode / "out")
+        (tmp_path / mode).mkdir()
+        main(["poly", "dHKL,image_id", pyp_off_mtz, out,
+              "--iterations=30", "--merge-half-datasets",
+              "--half-dataset-repeats=1", "--disable-progress-bar",
+              f"--xval-mode={mode}"])
+        outs[mode] = read_mtz(out + "_xval_0.mtz")
+    a, b = outs["parallel"], outs["serial"]
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a[["H", "K", "L", "repeat", "half"]],
+                                  b[["H", "K", "L", "repeat", "half"]])
+    np.testing.assert_allclose(a["F"], b["F"], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(a["SigF"], b["SigF"], rtol=1e-3, atol=1e-3)
