@@ -428,6 +428,22 @@ def main():
     run("laue_xla", 90, _laue(plans=False, n_steps=50))
 
     if on_tpu:
+        # mc_samples=2: the fused kernel's measured niche (auto selects it
+        # here, benchmarks/fused_sweep.py: 238 vs 175 steps/s) — ahead of
+        # the confirmatory likelihood variants, it evidences the dispatch
+        # policy
+        def _mc2():
+            from dataclasses import replace
+
+            from careless_tpu.models.merging.variational import Trainer
+            model, _, _, i = build_problem(n_obs, n_refl, fused=True)
+            model = replace(model, mc_samples=2)
+            p = model.init(jax.random.PRNGKey(0), i,
+                           (np.asarray(model.prior.mean()),
+                            np.asarray(model.prior.stddev())))
+            return bench_scan(Trainer(model), p, i, steps // 2, chunk)
+        run("fused_mc2", 60, _mc2)
+
         # BASELINE config 2 flavor: Student-t likelihood, fused
         def _studentt():
             _, p, t, i = build_problem(n_obs, n_refl, fused=True,
@@ -441,20 +457,6 @@ def main():
                                        likelihood="ev11")
             return bench_scan(t, p, i, steps // 2, chunk)
         run("fused_ev11", 60, _ev11)
-
-        # mc_samples=2: the fused kernel's measured niche (auto selects it
-        # here, benchmarks/fused_sweep.py: 238 vs 175 steps/s)
-        def _mc2():
-            from dataclasses import replace
-
-            from careless_tpu.models.merging.variational import Trainer
-            model, _, _, i = build_problem(n_obs, n_refl, fused=True)
-            model = replace(model, mc_samples=2)
-            p = model.init(jax.random.PRNGKey(0), i,
-                           (np.asarray(model.prior.mean()),
-                            np.asarray(model.prior.stddev())))
-            return bench_scan(Trainer(model), p, i, steps // 2, chunk)
-        run("fused_mc2", 60, _mc2)
 
         # ---- skippable tail (diagnostic configs; headline never needs them)
         # shard_map scale-out on a 1-device mesh: per-shard plans + fused
