@@ -241,3 +241,29 @@ def test_stream_perm_plan_engages_past_vmem_cap(rng, monkeypatch):
     gref = np.zeros(600, np.float32)
     np.add.at(gref, ids, ct)
     np.testing.assert_allclose(g, gref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="streaming DMA kernel is TPU-only (interpret "
+                           "mode routes through the plain windowed kernel)")
+def test_stream_kernel_exact_on_hardware(rng):
+    """The HBM-streaming windowed gather must be bit-exact against numpy
+    indexing on real hardware (the CPU mesh exercises only its interpret
+    fallback; the 8-sublane DMA alignment bug faulted the TPU worker and
+    was invisible off-hardware)."""
+    from careless_tpu.ops.plan_gather import _plan_windows
+    from careless_tpu.ops.table_gather import windowed_gather_stream
+
+    n = 300_000
+    perm = np.arange(n, dtype=np.int64)
+    for off in (3, 17, 111):
+        i = np.arange(0, n - off, off * 13)
+        perm[i], perm[i + off] = perm[i + off].copy(), perm[i].copy()
+    ids2d, bases, w = _plan_windows(perm.astype(np.int32), n, False,
+                                    warn=False, max_chunks=160,
+                                    max_rows=1 << 20)
+    assert w > 0
+    x = rng.normal(size=n).astype(np.float32)
+    out = np.asarray(windowed_gather_stream(
+        jnp.asarray(x), jnp.asarray(ids2d), jnp.asarray(bases), w)[:n])
+    np.testing.assert_array_equal(out, x[perm])
